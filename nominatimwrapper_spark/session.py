@@ -1,0 +1,56 @@
+"""SparkSession factory tuned for this engine.
+
+Scale posture: the same builder is used by tests (local[*]) and by
+spark-submit on a real cluster — only master/partition counts differ.
+AQE is on (runtime re-plan + skew-join splitting), Arrow is on (every
+Python crossing is a vectorized pandas UDF), and shuffle partitions
+default to the local core count so local runs don't create thousands of
+tiny tasks while cluster runs can override via --conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "nominatimwrapper_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's default conf.
+
+    ``master=None`` defers to spark-submit / an existing session, which is
+    what production ``spark-submit --py-files`` runs want; tests pass
+    ``local[N]`` explicitly.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    if master is None:
+        master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else cpus
+        shuffle_partitions = (os.cpu_count() or 8) if n == "*" else int(n)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # runtime re-planning: broadcast-join conversion, skew-join splitting,
+        # partition coalescing — all load-bearing at 100 TB
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # all Python UDFs in this engine are pandas UDFs — Arrow transfer only
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # session TZ pinned so timestamp semantics match the DuckDB oracle
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
