@@ -1,0 +1,112 @@
+# -*- coding: utf-8 -*-
+"""Address cleansing as Column expressions (JVM-side, codegen-friendly).
+
+Reference parity:
+
+- ``clean_addr_col`` / ``clean_addr_in``   utils.py:107-131 (comma fixpoint)
+- ``compose_address_col``                  utils.py:639-646 / 270-276
+- ``REGEX_REPLACEMENTS`` + transformer     config.py:71-96, transformers.py:328-364
+  (pandas ``\\g<n>`` backrefs rewritten to Java ``$n``)
+- ``digit_prefix_col``                     utils.py:268 (retry house cleansing)
+
+Everything here is pure `pyspark.sql.functions` — no Python crossing in
+the hot path.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# field name -> ordered (java_pattern, java_replacement) lists.
+# Transcribed from the reference's pandas rules (config.py:71-96); the only
+# rewrite is \g<n> -> $n. Case-sensitive, replace-all — same as pandas
+# str.replace(regex=True).
+REGEX_REPLACEMENTS: dict[str, list[tuple[str, str, str]]] = {
+    "init": [
+        ("street", r"^(.+)\(((AV[E .]|CH[A .]|RUE|BOU|B[LVD]+|PL[A .]|SQ|ALL|GAL)[^\)]*)\)$", "$2 $1"),
+        ("street", r"[, ]*(SN|ZN)$", ""),
+        ("street", r"' ", "'"),
+        ("street", r"\(.+\)$", ""),
+    ],
+    "lpost": [
+        ("housenbr", r"^([0-9]*)(.*)$", "$1"),
+        ("street", r"^r[\. ]", "rue "),
+        ("street", r"^av[\. ]", "avenue "),
+        ("street", r"^ch([ée]e)?[\. ]", "chaussée "),
+        ("street", r"^b[lvd]{0,3}[\. ]", "boulevard "),
+        ("street", r"(avenue|rue|chauss[ée]e|boulevard) d ", "$1 d'"),
+        ("street", r"(avenue|rue|chauss[ée]e|boulevard) de l ", "$1 de l'"),
+        ("street", r" de l ", " de l'"),
+    ],
+}
+
+
+def clean_addr_col(col: Column, passes: int = 4) -> Column:
+    """Comma-fixpoint cleanup (reference utils.py:107-131) as a fixed-depth
+    regexp_replace chain.
+
+    The reference loops to a fixpoint; each pass halves runs of consecutive
+    commas, and composed addresses contain at most 5 separators, so 3 passes
+    reach the fixpoint — we use 4 for margin. Differential-tested against the
+    reference loop on adversarial inputs.
+    """
+    out = col
+    for _ in range(passes):
+        out = F.regexp_replace(out, ",[ ]*,", ",")
+        out = F.trim(out)
+        out = F.regexp_replace(out, ",$", "")
+        out = F.regexp_replace(out, "^,", "")
+    return F.trim(out)
+
+
+def clean_addr_in(addr_in: str) -> str:
+    """Scalar twin of :func:`clean_addr_col` — exact reference loop
+    (utils.py:107-131); used by tests and the synthetic-data generator."""
+    old = None
+    while addr_in != old:
+        old = addr_in
+        addr_in = re.sub(",[ ]*,", ",", addr_in).strip()
+        addr_in = re.sub(",$", "", addr_in)
+        addr_in = re.sub("^,", "", addr_in)
+    return addr_in
+
+
+def compose_address_col(
+    street: Column, housenbr: Column, postcode: Column, city: Column, country: Column
+) -> Column:
+    """"street, housenbr, postcode city, country" with null-fill, then comma
+    cleanup — exactly the reference composition (utils.py:639-646)."""
+    nz = lambda c: F.coalesce(c, F.lit(""))  # noqa: E731
+    raw = F.concat(
+        nz(street), F.lit(", "),
+        nz(housenbr), F.lit(", "),
+        nz(postcode), F.lit(" "),
+        nz(city), F.lit(", "),
+        nz(country),
+    )
+    return clean_addr_col(raw)
+
+
+def apply_regex_ruleset(
+    street: Column, housenbr: Column, ruleset: str
+) -> tuple[Column, Column]:
+    """Apply one ordered ruleset to (street, housenbr); returns the two
+    transformed Columns. Mirrors transformers.py:328-364 (regex_transformer)
+    with null -> "" fill before matching."""
+    s = F.coalesce(street, F.lit(""))
+    h = F.coalesce(housenbr, F.lit(""))
+    for field, pat, repl in REGEX_REPLACEMENTS[ruleset]:
+        if field == "street":
+            s = F.regexp_replace(s, pat, repl)
+        else:
+            h = F.regexp_replace(h, pat, repl)
+    return s, h
+
+
+def digit_prefix_col(col: Column) -> Column:
+    """Leading digit run of a house number ("30 bt 2" -> "30"); empty when
+    none. Reference utils.py:268 str.extract("^([0-9]+)")."""
+    return F.regexp_extract(F.coalesce(col, F.lit("")), "^([0-9]+)", 1)

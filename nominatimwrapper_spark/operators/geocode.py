@@ -1,0 +1,817 @@
+# -*- coding: utf-8 -*-
+"""Geocode cascade — the in-cluster replacement for NominatimWrapper's
+per-address REST pipeline.
+
+Reference lifecycle being reproduced (values, not architecture):
+
+    process_addresses            utils.py:1195-1279   -> cascade()
+    transform_and_process        utils.py:589-688     -> _one_stage()
+    apply_transformers           utils.py:692-776     -> apply_transformers()
+    process_osm (REST + parse)   utils.py:300-441     -> geocode_candidates()
+    osm_keep_relevant_results    check_result_utils.py:648-699 -> _check_and_pick()
+    match_parent                 check_result_utils.py:560-644 -> _parent_rescue()
+    retry_with_low_place_rank    utils.py:225-299     -> _retry_low_rank()
+    libpostal_transformer        transformers.py:261-320 -> rule-based parse UDF
+    photon_transformer           transformers.py:182-247 -> locality-candidate rerank
+
+Scale design: the gazetteer index is the SMALL side (a country extract is
+millions of rows) and is broadcast; the page/address corpus is the BIG side
+and never shuffles for the lookup itself. Candidate scoring happens after a
+dropDuplicates on the composed address (the reference's only optimization,
+utils.py:353-356 — here it is a partial-agg dedup). The per-stage loop
+shrinks the working set with a left-anti join exactly like the reference's
+`chunk[~isin(done)]` (utils.py:1263). Skewed hot streets are handled by
+AQE skew-join on the fan-back join; the candidate join itself is broadcast
+so skew cannot concentrate a shuffle partition.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ..functions.cleansing import (
+    apply_regex_ruleset,
+    compose_address_col,
+    digit_prefix_col,
+)
+from ..functions.geo import haversine_col
+from ..functions.similarity import (
+    SIMILARITY_THRESHOLD,
+    city_sim,
+    elimination_rule,
+    house_number_sim,
+    postcode_sim,
+    street_sim,
+    street_sim_best,
+)
+from ..functions.textnorm import city_key, street_fingerprint_key
+
+# reference config.py:102-112
+DEFAULT_TRANSFORMERS_SEQUENCE: list[list[str]] = [
+    ["orig"],
+    ["regex[init]"],
+    ["libpostal", "regex[lpost]"],
+    ["libpostal", "regex[lpost]", "photon"],
+    ["nonum"],
+    ["libpostal", "regex[lpost]", "nonum"],
+    ["libpostal", "regex[lpost]", "photon", "nonum"],
+    ["photon"],
+    ["photon", "nonum"],
+    ["nostreet"],
+]
+
+NOMINATIM_CANDIDATE_LIMIT = 50  # reference base.py:97
+
+ADDR_COLS = ["addr_key", "street", "housenbr", "postcode", "city", "country"]
+
+
+@pandas_udf(StringType())
+def street_key_udf(s: pd.Series) -> pd.Series:
+    return s.map(street_fingerprint_key)
+
+
+@pandas_udf(StringType())
+def city_key_udf(s: pd.Series) -> pd.Series:
+    return s.map(city_key)
+
+
+# ---------------------------------------------------------------------------
+# gazetteer index
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class GazetteerIndex:
+    """Lookup-ready gazetteer. ``lookup`` has one row per (name-variant-part,
+    place); ``places`` one row per place (for parent rescue)."""
+
+    lookup: DataFrame
+    places: DataFrame
+    broadcast_ok: bool = True
+
+    def hinted(self, df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if self.broadcast_ok else df
+
+
+def build_gazetteer_index(
+    gaz: DataFrame, broadcast_threshold: int = 20_000_000
+) -> GazetteerIndex:
+    """Build the join index from a gazetteer DataFrame
+    (schema per FIXTURES.md §2; alt_names as map or array<struct<key,value>>).
+
+    Every bilingual part of every name variant (street_name parts +
+    alt_names values — the index the real Nominatim builds from its name
+    table) becomes a lookup row keyed by letters-only fingerprint, so any
+    language/spelling variant of a query street keys into the same places.
+    """
+    alt_t = dict(gaz.dtypes).get("alt_names", "")
+    alt_map = F.col("alt_names") if alt_t.startswith("map") else F.map_from_entries("alt_names")
+
+    base = gaz.withColumn("alt_map", alt_map).withColumn(
+        "namedetails",
+        F.when(
+            F.col("category") == "highway",
+            F.array_join(F.map_values(F.col("alt_map")), " - "),
+        ).otherwise(F.lit("")),
+    )
+
+    places = base.select(
+        "place_id", "parent_place_id", "street_name", "alt_map", "house_number",
+        "post_code", "city", "country", "lat", "lon", "place_rank", "category",
+        "importance", "namedetails",
+    )
+
+    # house rows inherit their parent street's name variants (incl. old
+    # names) — Nominatim finds a house through any name of its street, which
+    # is what makes the parent-rescue path reachable at all.
+    empty_arr = F.array().cast("array<string>")
+    parent_names = base.select(
+        F.col("place_id").alias("_pp_id"), F.map_values("alt_map").alias("_p_variants")
+    )
+    with_parent = base.join(
+        parent_names, base.parent_place_id == parent_names._pp_id, "left"
+    ).drop("_pp_id")
+
+    variants = with_parent.withColumn(
+        "variant_part",
+        F.explode(
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        F.array_union(
+                            F.array_union(
+                                F.array(F.coalesce(F.col("street_name"), F.lit(""))),
+                                F.coalesce(F.map_values("alt_map"), empty_arr),
+                            ),
+                            F.when(F.col("place_rank") == 30, F.coalesce(F.col("_p_variants"), empty_arr))
+                            .otherwise(empty_arr),
+                        ),
+                        lambda v: F.split(v, " - "),
+                    )
+                )
+            )
+        ),
+    ).drop("_p_variants")
+
+    lookup = (
+        variants.withColumn("key_street", street_key_udf(F.col("variant_part")))
+        .withColumn("key_city", city_key_udf(F.col("city")))
+        # empty-name parts only meaningful for city-level rows
+        .filter((F.col("key_street") != "") | (F.col("place_rank") < 26))
+        .select(
+            "key_street", "key_city", "post_code", "house_number", "place_id",
+            "parent_place_id", "place_rank", "category", "importance", "lat", "lon",
+            F.coalesce("street_name", F.lit("")).alias("out_street_name"),
+            F.col("city").alias("out_post_name"),
+            F.col("house_number").alias("out_house_number"),
+            F.col("post_code").alias("out_post_code"),
+            F.col("country").alias("out_country_name"),
+            F.lit("").alias("out_other"),
+            "namedetails",
+        )
+        .dropDuplicates(["key_street", "place_id"])
+    )
+
+    n = lookup.count()
+    return GazetteerIndex(lookup=lookup.cache(), places=places.cache(), broadcast_ok=n <= broadcast_threshold)
+
+
+# ---------------------------------------------------------------------------
+# candidate generation (the Nominatim-lookup analog)
+# ---------------------------------------------------------------------------
+
+
+def _unique_queries(addr: DataFrame) -> DataFrame:
+    """Dedup on the composed address before the (expensive) lookup —
+    reference utils.py:353-356."""
+    return (
+        addr.select("transformed_address", "street", "housenbr", "postcode", "city", "country")
+        .dropDuplicates(["transformed_address"])
+        .withColumn("q_street_key", street_key_udf(F.col("street")))
+        .withColumn("q_city_key", city_key_udf(F.col("city")))
+        .withColumn("q_pc", F.coalesce(F.col("postcode"), F.lit("")))
+        .withColumn("q_house", F.coalesce(F.col("housenbr"), F.lit("")))
+    )
+
+
+def geocode_candidates(addr: DataFrame, index: GazetteerIndex) -> DataFrame:
+    """Multi-level broadcast equi-join against the gazetteer — SURVEY.md J8.
+
+    Levels (lower wins for ordering; all levels unioned, capped at 50 like
+    Nominatim's server-side limit, base.py:97):
+      0: (street, postcode, house)  exact house rows
+      1: (street, city, house)      house rows via city when postcode off
+      2: (street, postcode)         street rows
+      3: (street, city)             street rows
+      4: (postcode)                 city rows   — only for empty street
+      5: (city fingerprint)         city rows   — only for empty street
+    """
+    q = _unique_queries(addr)
+    lk = index.hinted(index.lookup)
+
+    has_street = q.filter(F.col("q_street_key") != "")
+    no_street = q.filter(F.col("q_street_key") == "")
+
+    houses = lk.filter(F.col("place_rank") == 30)
+    streets = lk.filter(F.col("place_rank") == 26)
+    cities = lk.filter(F.col("place_rank") < 26)
+
+    def lvl(df: DataFrame, n: int) -> DataFrame:
+        return df.withColumn("match_level", F.lit(n))
+
+    c0 = lvl(
+        has_street.filter(F.col("q_house") != "").join(
+            houses,
+            (F.col("q_street_key") == houses.key_street)
+            & (F.col("q_pc") == houses.post_code)
+            & (F.col("q_house") == houses.house_number),
+        ),
+        0,
+    )
+    c1 = lvl(
+        has_street.filter((F.col("q_house") != "") & (F.col("q_city_key") != "")).join(
+            houses,
+            (F.col("q_street_key") == houses.key_street)
+            & (F.col("q_city_key") == houses.key_city)
+            & (F.col("q_house") == houses.house_number),
+        ),
+        1,
+    )
+    c2 = lvl(
+        has_street.join(
+            streets,
+            (F.col("q_street_key") == streets.key_street)
+            & (F.col("q_pc") == streets.post_code),
+        ),
+        2,
+    )
+    c3 = lvl(
+        has_street.filter(F.col("q_city_key") != "").join(
+            streets,
+            (F.col("q_street_key") == streets.key_street)
+            & (F.col("q_city_key") == streets.key_city),
+        ),
+        3,
+    )
+    c4 = lvl(
+        no_street.filter(F.col("q_pc") != "").join(cities, F.col("q_pc") == cities.post_code),
+        4,
+    )
+    c5 = lvl(
+        no_street.filter(F.col("q_city_key") != "").join(
+            cities, F.col("q_city_key") == cities.key_city
+        ),
+        5,
+    )
+
+    # most-specific-first, like Nominatim with a housenumber: when an exact
+    # house hit exists for a query, street-level candidates are suppressed
+    # (the house is the answer; if the checker rejects it, parent rescue —
+    # not a vaguer street row — is the recovery path, as in the reference).
+    house_cand = c0.unionByName(c1)
+    house_hit = house_cand.select("transformed_address").distinct()
+    street_cand = (
+        c2.unionByName(c3).join(house_hit, on="transformed_address", how="left_anti")
+    )
+    cand = house_cand.unionByName(street_cand).unionByName(c4).unionByName(c5)
+
+    # one row per (query, place): keep the best (lowest) match level
+    per_place = Window.partitionBy("transformed_address", "place_id").orderBy("match_level")
+    cand = cand.withColumn("_rn", F.row_number().over(per_place)).filter(F.col("_rn") == 1).drop("_rn")
+
+    # deterministic result order per query = the reference's osm_order
+    # (position in Nominatim's response, utils.py:489,529)
+    order_w = Window.partitionBy("transformed_address").orderBy(
+        F.col("match_level").asc(), F.col("importance").desc(), F.col("place_id").asc()
+    )
+    cand = (
+        cand.withColumn("osm_order", F.row_number().over(order_w) - 1)
+        .filter(F.col("osm_order") < NOMINATIM_CANDIDATE_LIMIT)
+    )
+
+    keep_cols = [
+        "transformed_address", "place_id", "parent_place_id", "place_rank", "category",
+        "lat", "lon", "osm_order", "out_street_name", "out_post_name",
+        "out_house_number", "out_post_code", "out_country_name", "out_other", "namedetails",
+    ]
+    # fan results back to every input address key (reference utils.py:394)
+    return addr.select(ADDR_COLS + ["transformed_address"]).join(
+        cand.select(keep_cols), on="transformed_address", how="inner"
+    )
+
+
+# ---------------------------------------------------------------------------
+# check path
+# ---------------------------------------------------------------------------
+
+_SIM_COLS = ["sim_street", "sim_street_which", "sim_house_number", "sim_post_code", "sim_city"]
+
+
+def _score(cand: DataFrame, street_b: str = "street") -> DataFrame:
+    """Attach the check scores — reference ignore_mismatch_keep_bests
+    (check_result_utils.py:463-531). a-side = candidate output fields,
+    b-side = the (transformed) input fields."""
+    best = street_sim_best(
+        F.col("out_street_name"), F.col("out_other"), F.col("namedetails"), F.col(street_b)
+    )
+    return (
+        cand.withColumn("_sb", best)
+        .withColumn("sim_street", F.col("_sb.sim_street"))
+        .withColumn("sim_street_which", F.col("_sb.sim_street_which"))
+        .drop("_sb")
+        .withColumn(
+            "sim_house_number",
+            house_number_sim(F.coalesce("out_house_number", F.lit("")), F.coalesce("housenbr", F.lit(""))),
+        )
+        .withColumn(
+            "sim_post_code",
+            postcode_sim(F.coalesce("out_post_code", F.lit("")), F.coalesce("postcode", F.lit(""))),
+        )
+        .withColumn(
+            "sim_city",
+            city_sim(F.coalesce("out_post_name", F.lit("")), F.coalesce("city", F.lit(""))),
+        )
+    )
+
+
+def _pick_best(scored: DataFrame, max_res: int = 1) -> tuple[DataFrame, DataFrame]:
+    """Split keep/reject: elimination rule, then best-per-key window
+    (check_result_utils.py:532-554)."""
+    elim = elimination_rule(F.col("sim_post_code"), F.col("sim_city"), F.col("sim_street"))
+    scored = scored.withColumn("_elim", elim).cache()
+
+    mismatch = scored.filter(F.col("_elim")).withColumn("reject_reason", F.lit("mismatch"))
+
+    w = Window.partitionBy("addr_key").orderBy(
+        F.col("sim_street").desc(), F.col("sim_house_number").desc(), F.col("osm_order").asc()
+    )
+    ranked = scored.filter(~F.col("_elim")).withColumn("_rank", F.row_number().over(w))
+    keep = ranked.filter(F.col("_rank") <= max_res).drop("_rank")
+    tail = ranked.filter(F.col("_rank") > max_res).drop("_rank").withColumn(
+        "reject_reason", F.lit("tail")
+    )
+    reject = mismatch.unionByName(tail, allowMissingColumns=True)
+    return keep.drop("_elim"), reject.drop("_elim")
+
+
+def _parent_rescue(
+    keep: DataFrame, reject: DataFrame, index: GazetteerIndex
+) -> tuple[DataFrame, DataFrame]:
+    """Alt-name rescue through the parent place — reference match_parent
+    (check_result_utils.py:560-644), as a broadcast self-join instead of
+    two REST round-trips per rejected row."""
+    final_rejected = (
+        reject.filter(F.col("reject_reason") == "mismatch")
+        .join(keep.select("addr_key").distinct(), on="addr_key", how="left_anti")
+        .drop("reject_reason", *_SIM_COLS)
+    )
+
+    parents = index.hinted(
+        index.places.select(
+            F.col("place_id").alias("p_pid"),
+            F.col("category").alias("p_cat"),
+            F.col("alt_map").alias("p_alt"),
+        )
+    )
+    alt = (
+        final_rejected.join(parents, final_rejected.parent_place_id == parents.p_pid, "inner")
+        .filter(F.col("p_cat") == "highway")  # street parents only (ref :603)
+        .select("*", F.explode(F.col("p_alt")).alias("alt_lang", "alt_name"))
+        .drop("p_pid", "p_cat", "p_alt")
+        .filter(F.col("alt_name") != F.col("out_street_name"))  # ref :617
+    )
+    if alt.isEmpty():
+        return keep, reject
+
+    # re-check with the alt name as the only street field (ref :622-630)
+    alt = (
+        alt.withColumn("_s", street_sim(F.coalesce("alt_name", F.lit("")), F.coalesce("street", F.lit(""))))
+        .withColumn("sim_street", F.col("_s"))
+        .withColumn("sim_street_which", F.lit("alt_names"))
+        .drop("_s")
+        .withColumn(
+            "sim_house_number",
+            house_number_sim(F.coalesce("out_house_number", F.lit("")), F.coalesce("housenbr", F.lit(""))),
+        )
+        .withColumn(
+            "sim_post_code",
+            postcode_sim(F.coalesce("out_post_code", F.lit("")), F.coalesce("postcode", F.lit(""))),
+        )
+        .withColumn(
+            "sim_city",
+            city_sim(F.coalesce("out_post_name", F.lit("")), F.coalesce("city", F.lit(""))),
+        )
+        .drop("alt_lang")
+    )
+    saved, _ = _pick_best(alt.drop("alt_name"))
+    if saved.isEmpty():
+        return keep, reject
+
+    keep2 = keep.unionByName(saved, allowMissingColumns=True)
+    # drop rescued (addr_key, place_id) pairs from the reject pile (ref :636)
+    reject2 = reject.join(
+        saved.select("addr_key", "place_id").distinct(), on=["addr_key", "place_id"], how="left_anti"
+    )
+    return keep2, reject2
+
+
+# ---------------------------------------------------------------------------
+# single lookup+check pass, low-rank retry, one transformer stage
+# ---------------------------------------------------------------------------
+
+
+def _process(
+    addr: DataFrame, index: GazetteerIndex, check_results: bool, use_parent: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """process_osm analog (utils.py:300-441): candidates -> check / first."""
+    cand = geocode_candidates(addr, index)
+
+    if check_results:
+        keep, reject = _pick_best(_score(cand))
+        if use_parent:
+            keep, reject = _parent_rescue(keep, reject, index)
+        return keep, reject
+
+    first = cand.withColumn(
+        "_rank",
+        F.row_number().over(Window.partitionBy("addr_key").orderBy(F.col("osm_order").asc())),
+    )
+    keep = first.filter(F.col("_rank") == 1).drop("_rank")
+    reject = first.filter(F.col("_rank") > 1).drop("_rank").withColumn(
+        "reject_reason", F.lit("tail")
+    )
+    return keep, reject
+
+
+def _retry_low_rank(
+    keep: DataFrame, sent: DataFrame, index: GazetteerIndex, check_results: bool
+) -> DataFrame:
+    """Cleansed-house-number retry for place_rank<30 — reference
+    retry_with_low_place_rank (utils.py:225-299)."""
+    low = keep.filter(F.col("place_rank") < 30).select("addr_key").distinct()
+    if low.isEmpty():
+        return keep
+
+    retry_in = (
+        sent.join(low, on="addr_key", how="inner")
+        .filter(~F.coalesce(F.col("housenbr"), F.lit("")).rlike("^[0-9]*$"))
+        .withColumn("housenbr", digit_prefix_col(F.col("housenbr")))
+        .withColumn(
+            "transformed_address",
+            compose_address_col(
+                F.col("street"), F.col("housenbr"), F.col("postcode"), F.col("city"), F.col("country")
+            ),
+        )
+    )
+    if retry_in.isEmpty():
+        return keep
+
+    retried, _ = _process(retry_in, index, check_results, use_parent=False)
+    improved = retried.filter(F.col("place_rank") == 30).withColumn(
+        "match_on_cleansed_house_number", F.lit(True)
+    )
+    if improved.isEmpty():
+        return keep
+
+    kept = keep.join(improved.select("addr_key").distinct(), on="addr_key", how="left_anti")
+    return kept.unionByName(improved, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# transformers
+# ---------------------------------------------------------------------------
+
+_LPOST_SCHEMA = StructType(
+    [
+        StructField("road", StringType()),
+        StructField("house_number", StringType()),
+        StructField("postcode", StringType()),
+        StructField("city", StringType()),
+        StructField("country", StringType()),
+    ]
+)
+
+_COUNTRY_WORDS = {"belgique", "belgie", "belgië", "belgium", "be"}
+_PC_SEG = re.compile(r"(?:^|\s)([A-Z]?-?\d{4})(?:\s|$)")
+_HOUSE_SEG = re.compile(r"^\d{1,5}[a-zA-Z]?$|^\d{1,5}\s*(?:bt|bte|bus|box|b)\.?\s*\w{1,4}$", re.IGNORECASE)
+_TRAILING_HOUSE = re.compile(r"^(.*[^\s\d])\s+(\d{1,5}[a-zA-Z]?)$")
+
+
+def parse_address_rule_based(full: str | None) -> dict[str, str | None]:
+    """Deterministic libpostal-style parser for composed addresses
+    ("street, house, postcode city, country"). This is the in-cluster
+    analog of the reference's libpostal REST service
+    (transformers.py:261-320); fixtures define its contract
+    (SURVEY.md stage-2 note — the exact ML parser is not reproducible
+    without the service)."""
+    out: dict[str, str | None] = {
+        "road": None, "house_number": None, "postcode": None, "city": None, "country": None
+    }
+    if not full:
+        return out
+    for part in (p.strip() for p in full.split(",")):
+        if not part:
+            continue
+        if part.lower() in _COUNTRY_WORDS:
+            if out["country"] is None:
+                out["country"] = part
+            continue
+        m = _PC_SEG.search(part)
+        if m and out["postcode"] is None:
+            out["postcode"] = m.group(1)
+            rest = (part[: m.start()] + " " + part[m.end() :]).strip()
+            if rest and out["city"] is None:
+                out["city"] = rest
+            continue
+        if _HOUSE_SEG.match(part) and out["house_number"] is None and out["road"] is not None:
+            out["house_number"] = part
+            continue
+        if out["road"] is None:
+            t = _TRAILING_HOUSE.match(part)
+            if t:
+                out["road"] = t.group(1)
+                out["house_number"] = t.group(2)
+            else:
+                out["road"] = part
+            continue
+        if out["city"] is None:
+            out["city"] = part
+    return out
+
+
+@pandas_udf(_LPOST_SCHEMA)
+def _lpost_parse_udf(full: pd.Series) -> pd.DataFrame:
+    return pd.DataFrame([parse_address_rule_based(v) for v in full.tolist()])
+
+
+def libpostal_transformer(addr: DataFrame, check_results: bool) -> DataFrame:
+    """Parse the composed address and substitute parsed fields
+    (reference transformers.py:261-320). check_results re-ranks with the
+    same elimination/best logic the reference applies."""
+    full = compose_address_col(
+        F.col("street"), F.col("housenbr"), F.col("postcode"), F.col("city"), F.col("country")
+    )
+    parsed = addr.withColumn("_lp", _lpost_parse_udf(full))
+    out = parsed.select(
+        "addr_key",
+        F.coalesce(F.col("_lp.road"), F.lit("")).alias("lp_street"),
+        F.coalesce(F.col("_lp.house_number"), F.lit("")).alias("lp_housenbr"),
+        F.coalesce(F.col("_lp.postcode"), F.lit("")).alias("lp_postcode"),
+        F.coalesce(F.col("_lp.city"), F.lit("")).alias("lp_city"),
+        F.coalesce(F.col("_lp.country"), F.lit("")).alias("lp_country"),
+        "street", "housenbr", "postcode", "city", "country",
+    )
+
+    if check_results:
+        # reference: ignore_mismatch_keep_bests(input-side a vs lpost-side b)
+        scored = (
+            out.withColumn("sim_street", street_sim(F.coalesce("street", F.lit("")), F.col("lp_street")))
+            .withColumn("sim_house_number", house_number_sim(F.coalesce("housenbr", F.lit("")), F.col("lp_housenbr")))
+            .withColumn("sim_post_code", postcode_sim(F.coalesce("postcode", F.lit("")), F.col("lp_postcode")))
+            .withColumn("sim_city", city_sim(F.coalesce("city", F.lit("")), F.col("lp_city")))
+        )
+        out = scored.filter(
+            ~elimination_rule(F.col("sim_post_code"), F.col("sim_city"), F.col("sim_street"))
+        ).drop("sim_street", "sim_house_number", "sim_post_code", "sim_city")
+
+    return out.select(
+        "addr_key",
+        F.col("lp_street").alias("street"),
+        F.col("lp_housenbr").alias("housenbr"),
+        F.col("lp_postcode").alias("postcode"),
+        F.col("lp_city").alias("city"),
+        F.col("lp_country").alias("country"),
+    )
+
+
+def photon_transformer(addr: DataFrame, index: GazetteerIndex, check_results: bool = True) -> DataFrame:
+    """Fuzzy street correction — the in-cluster Photon analog
+    (transformers.py:182-247): candidate streets of the same locality
+    (postcode or city fingerprint), re-ranked by the reference's check
+    (photon_keep_relevant_results, transformers.py:40-77: street compare +
+    postcode/city elimination, fake house number), best per key wins with
+    photon_order as tie-break."""
+    q = (
+        addr.select(ADDR_COLS)
+        .withColumn("q_city_key", city_key_udf(F.col("city")))
+        .withColumn("q_pc", F.coalesce(F.col("postcode"), F.lit("")))
+    )
+    streets = index.hinted(
+        index.lookup.filter(F.col("place_rank") == 26).select(
+            "key_city", "post_code", "importance", "place_id",
+            F.col("out_street_name").alias("ph_street"),
+            F.col("out_post_name").alias("ph_city"),
+            F.col("out_post_code").alias("ph_postcode"),
+            F.col("out_country_name").alias("ph_country"),
+        ).dropDuplicates(["place_id"])
+    )
+
+    by_pc = q.filter(F.col("q_pc") != "").join(streets, F.col("q_pc") == streets.post_code)
+    by_city = q.filter(F.col("q_city_key") != "").join(streets, F.col("q_city_key") == streets.key_city)
+    cand = by_pc.unionByName(by_city).dropDuplicates(["addr_key", "place_id"])
+
+    ph_order = Window.partitionBy("addr_key").orderBy(F.col("importance").desc(), F.col("place_id").asc())
+    cand = cand.withColumn("photon_order", F.row_number().over(ph_order))
+
+    scored = (
+        cand.withColumn("sim_street", street_sim(F.col("ph_street"), F.coalesce("street", F.lit(""))))
+        .withColumn("sim_post_code", postcode_sim(F.col("ph_postcode"), F.coalesce("postcode", F.lit(""))))
+        .withColumn("sim_city", city_sim(F.col("ph_city"), F.coalesce("city", F.lit(""))))
+        .withColumn("sim_house_number", F.lit(0.0))  # fake house number, ref transformers.py:63
+    )
+    if check_results:
+        scored = scored.filter(
+            ~elimination_rule(F.col("sim_post_code"), F.col("sim_city"), F.col("sim_street"))
+        )
+    w = Window.partitionBy("addr_key").orderBy(
+        F.col("sim_street").desc(), F.col("sim_house_number").desc(), F.col("photon_order").asc()
+    )
+    best = scored.withColumn("_rank", F.row_number().over(w)).filter(F.col("_rank") == 1)
+
+    return best.select(
+        "addr_key",
+        F.col("ph_street").alias("street"),
+        F.col("housenbr"),  # photon house number is never used (ref :235)
+        F.col("ph_postcode").alias("postcode"),
+        F.col("ph_city").alias("city"),
+        F.col("ph_country").alias("country"),
+    )
+
+
+def apply_transformers(
+    addr: DataFrame, transformers: list[str], index: GazetteerIndex, check_results: bool
+) -> DataFrame:
+    """Sequentially apply a transformer list, then keep only rows actually
+    CHANGED by the sequence (case-insensitive 5-field compare vs the
+    originals) — reference apply_transformers utils.py:692-776."""
+    if transformers == ["orig"]:
+        return addr.select(ADDR_COLS)
+
+    out = addr.select(ADDR_COLS)
+    for t in transformers:
+        if t == "orig":
+            continue
+        m = re.match(r"regex\[([a-z]+)\]", t)
+        if m:
+            s, h = apply_regex_ruleset(F.col("street"), F.col("housenbr"), m.group(1))
+            out = out.withColumn("street", s).withColumn("housenbr", h)
+        elif t == "nonum":
+            out = out.withColumn("housenbr", F.lit(""))
+        elif t == "nostreet":
+            out = out.withColumn("housenbr", F.lit("")).withColumn("street", F.lit(""))
+        elif t == "nozip":
+            out = out.withColumn("postcode", F.lit(""))
+        elif t == "nocountry":
+            out = out.withColumn("country", F.lit(""))
+        elif t == "libpostal":
+            out = libpostal_transformer(out, check_results)
+        elif t == "photon":
+            out = photon_transformer(out, index, check_results)
+        else:
+            raise ValueError(f"unknown transformer {t!r}")
+
+    orig = addr.select(
+        "addr_key", *[F.col(c).alias(f"_o_{c}") for c in ADDR_COLS[1:]]
+    )
+    joined = out.join(orig, on="addr_key", how="inner")
+    changed = F.lit(False)
+    for c in ADDR_COLS[1:]:
+        changed = changed | (
+            F.lower(F.coalesce(F.col(c).cast("string"), F.lit("")))
+            != F.lower(F.coalesce(F.col(f"_o_{c}").cast("string"), F.lit("")))
+        )
+    return joined.filter(changed).select(ADDR_COLS)
+
+
+# ---------------------------------------------------------------------------
+# cascade driver
+# ---------------------------------------------------------------------------
+
+RESULT_COLS = [
+    "addr_key", "method", "place_id", "parent_place_id", "place_rank", "lat", "lon",
+    "out_street_name", "out_post_name", "out_house_number", "out_post_code",
+    "out_country_name", "out_other", "namedetails", "osm_order",
+    "transformed_address", "match_on_cleansed_house_number",
+    "sim_street", "sim_street_which", "sim_house_number", "sim_post_code", "sim_city",
+]
+REJECT_EXTRA = ["reject_reason"]
+
+
+def _one_stage(
+    todo: DataFrame, transformers: list[str], index: GazetteerIndex, check_results: bool
+) -> tuple[DataFrame, DataFrame]:
+    """transform_and_process analog (utils.py:589-688)."""
+    method = "+".join(transformers)
+    transformed = apply_transformers(todo, transformers, index, check_results)
+    sent = transformed.withColumn(
+        "transformed_address",
+        compose_address_col(
+            F.col("street"), F.col("housenbr"), F.col("postcode"), F.col("city"), F.col("country")
+        ),
+    ).localCheckpoint(eager=True)  # one materialization per stage; bounds plan size
+
+    keep, reject = _process(sent, index, check_results)
+    keep = _retry_low_rank(keep, sent, index, check_results)
+
+    keep = keep.withColumn("method", F.lit(method))
+    reject = reject.withColumn("method", F.lit(method))
+    return _conform(keep, RESULT_COLS + ["street", "housenbr", "postcode", "city", "country"]), _conform(
+        reject, RESULT_COLS + REJECT_EXTRA
+    )
+
+
+def _conform(df: DataFrame, cols: list[str]) -> DataFrame:
+    have = set(df.columns)
+    sel = []
+    for c in cols:
+        if c == "match_on_cleansed_house_number":
+            src = F.col(c) if c in have else F.lit(None).cast("boolean")
+            sel.append(F.coalesce(src, F.lit(False)).alias(c))
+        elif c in have:
+            sel.append(F.col(c))
+        else:
+            sel.append(F.lit(None).cast("string").alias(c))
+    return df.select(sel)
+
+
+def cascade(
+    addresses: DataFrame,
+    index: GazetteerIndex,
+    check_results: bool = True,
+    transformers_sequence: list[list[str]] | None = None,
+    with_rejected: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """process_addresses analog (utils.py:1195-1279): run the transformer
+    ladder, shrink the working set by left-anti join after each stage, tag
+    each match with the stage that produced it (``method`` — the fallback
+    level the fixtures pin), then restore the ORIGINAL input fields.
+
+    Input: DataFrame with ADDR_COLS. addr_key must be unique
+    (reference aborts on duplicates, nominatimwrapper.py:789-790).
+    """
+    spark = addresses.sparkSession
+    seqs = transformers_sequence or DEFAULT_TRANSFORMERS_SEQUENCE
+
+    dup = addresses.groupBy("addr_key").count().filter("count > 1")
+    if not dup.isEmpty():
+        raise ValueError("duplicate addr_key values in input")
+
+    todo = addresses.select(ADDR_COLS).cache()
+    results: DataFrame | None = None
+    rejects: DataFrame | None = None
+
+    for transformers in seqs:
+        keep, reject = _one_stage(todo, transformers, index, check_results)
+        # Materialize + truncate lineage at every stage boundary: the loop
+        # otherwise accretes one giant plan across 10 stages (multi-MB task
+        # binaries, analysis/codegen blow-up). This is the Spark analog of
+        # the reference's per-stage materialized pandas frames; on a cluster
+        # the same boundary is the S7 per-partition checkpoint.
+        keep = keep.localCheckpoint(eager=True)
+        results = keep if results is None else results.unionByName(keep)
+        if with_rejected:
+            reject = reject.localCheckpoint(eager=True)
+            rejects = reject if rejects is None else rejects.unionByName(reject)
+
+        new_todo = todo.join(
+            keep.select("addr_key").distinct(), on="addr_key", how="left_anti"
+        ).localCheckpoint(eager=True)
+        if new_todo.isEmpty():
+            todo = new_todo
+            break
+        todo = new_todo
+
+    assert results is not None
+    # restore original input fields (reference utils.py:1271)
+    results = results.drop("street", "housenbr", "postcode", "city", "country").join(
+        addresses.select(ADDR_COLS), on="addr_key", how="left"
+    )
+
+    if with_rejected and rejects is not None:
+        # distance from each reject to its key's accepted match (utils.py:1080-1093)
+        m = results.select(
+            "addr_key", F.col("lat").alias("_mlat"), F.col("lon").alias("_mlon")
+        )
+        rejects = rejects.join(m, on="addr_key", how="left").withColumn(
+            "distance_to_match",
+            F.round(haversine_col(F.col("lat"), F.col("lon"), F.col("_mlat"), F.col("_mlon")), 3),
+        ).drop("_mlat", "_mlon")
+    else:
+        rejects = spark.createDataFrame([], schema=_reject_schema())
+
+    return results, rejects
+
+
+def _reject_schema():
+    from pyspark.sql.types import DoubleType
+
+    fields = [StructField(c, StringType()) for c in RESULT_COLS + REJECT_EXTRA]
+    fields.append(StructField("distance_to_match", DoubleType()))
+    return StructType(fields)

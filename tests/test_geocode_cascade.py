@@ -1,0 +1,116 @@
+# -*- coding: utf-8 -*-
+"""End-to-end cascade fixtures: every synthetic address must resolve at its
+engineered transformer stage with the expected place_id / place_rank
+(FIXTURES.md §3, SURVEY.md §5.2.3)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from nominatimwrapper_spark.operators.geocode import (
+    build_gazetteer_index,
+    cascade,
+)
+from nominatimwrapper_spark.synth import gen_world
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    w = gen_world(n_streets=120, houses_per_street=6, n_pages=50, n_per_class=6)
+    from nominatimwrapper_spark.synth import write_world
+
+    d = tmp_path_factory.mktemp("world")
+    write_world(str(d), w)
+    w["_dir"] = str(d)
+    return w
+
+
+@pytest.fixture(scope="module")
+def index(spark, world):
+    gaz = spark.read.parquet(f"{world['_dir']}/gazetteer.parquet")
+    return build_gazetteer_index(gaz)
+
+
+@pytest.fixture(scope="module")
+def cascade_out(spark, world, index):
+    a = world["addresses"]
+    addr = spark.createDataFrame(
+        a.rename(
+            columns=dict(
+                referenceKey="addr_key", streetName="street", houseNumber="housenbr",
+                postCode="postcode", postName="city", countryName="country",
+            )
+        )[["addr_key", "street", "housenbr", "postcode", "city", "country"]]
+    )
+    results, rejects = cascade(addr, index, check_results=True)
+    return results.toPandas(), rejects.toPandas(), a
+
+
+def test_expected_method_and_rank(cascade_out):
+    res, _rej, a = cascade_out
+    res = res.set_index("addr_key")
+    failures = []
+    for _, row in a.iterrows():
+        k = row.referenceKey
+        if row.expected_method == "NOMATCH":
+            if k in res.index:
+                failures.append((k, row.addr_class, "matched but expected NOMATCH",
+                                 res.loc[k, "method"]))
+            continue
+        if k not in res.index:
+            failures.append((k, row.addr_class, "no match", None))
+            continue
+        got = res.loc[k]
+        if got["method"] != row.expected_method:
+            failures.append((k, row.addr_class, f"method {got['method']}", row.expected_method))
+        elif int(got["place_rank"]) != int(row.expected_place_rank):
+            failures.append((k, row.addr_class, f"rank {got['place_rank']}", row.expected_place_rank))
+        elif int(got["place_id"]) != int(row.expected_place_id):
+            failures.append((k, row.addr_class, f"pid {got['place_id']}", row.expected_place_id))
+    assert not failures, f"{len(failures)} fixture mismatches: {failures[:12]}"
+
+
+def test_one_result_per_key(cascade_out):
+    res, _rej, _a = cascade_out
+    assert res.addr_key.value_counts().max() == 1
+
+
+def test_cleansed_house_number_flag(cascade_out):
+    res, _rej, a = cascade_out
+    res = res.set_index("addr_key")
+    for _, row in a[a.addr_class == "retry26"].iterrows():
+        got = res.loc[row.referenceKey]
+        assert bool(got["match_on_cleansed_house_number"]), row.referenceKey
+    # and never set on exact matches
+    for _, row in a[a.addr_class == "orig_exact"].iterrows():
+        assert not bool(res.loc[row.referenceKey, "match_on_cleansed_house_number"])
+
+
+def test_original_input_restored(cascade_out):
+    res, _rej, a = cascade_out
+    merged = res.merge(
+        a.rename(columns=dict(referenceKey="addr_key")), on="addr_key", how="inner"
+    )
+    assert (merged.street == merged.streetName).all()
+    assert (merged.housenbr == merged.houseNumber).all()
+
+
+def test_rejects_have_reason_and_distance(cascade_out):
+    _res, rej, _a = cascade_out
+    if len(rej):
+        assert set(rej.reject_reason.unique()) <= {"mismatch", "tail"}
+        with_match = rej[rej.distance_to_match.notna()]
+        assert (with_match.distance_to_match >= 0).all()
+
+
+def test_duplicate_key_guard(spark, index):
+    import pandas as pd
+
+    dup = pd.DataFrame(
+        dict(addr_key=["a", "a"], street=["x", "y"], housenbr=["", ""],
+             postcode=["1000", "1000"], city=["c", "c"], country=["", ""])
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        cascade(spark.createDataFrame(dup), index)
