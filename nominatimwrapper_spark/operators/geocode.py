@@ -789,9 +789,11 @@ def cascade(
         todo = new_todo
 
     assert results is not None
-    # restore original input fields (reference utils.py:1271)
+    # restore the FULL original input row — including caller columns beyond
+    # ADDR_COLS (url, warc_ts, ...) — like the reference's
+    # merge(to_process_addresses, how="left") at utils.py:1271
     results = results.drop("street", "housenbr", "postcode", "city", "country").join(
-        addresses.select(ADDR_COLS), on="addr_key", how="left"
+        addresses, on="addr_key", how="left"
     )
 
     if with_rejected and rejects is not None:

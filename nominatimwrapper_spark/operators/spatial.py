@@ -1,0 +1,319 @@
+# -*- coding: utf-8 -*-
+"""Spatial-join + tiling operators (the north_rule extensions — SURVEY.md
+J9 point-in-polygon, J10 kNN, A9 tile rollups).
+
+Scale design notes
+------------------
+- PIP: polygons are the SMALL side. Each polygon explodes into its grid
+  cover cells (driver-enumerable integer ranges from the bbox — no region
+  coverer needed); points compute their cell as a pure Column expression.
+  The join is a broadcast equi-join on cell, then a bbox Column prefilter,
+  and only the survivors pay the exact ray-cast pandas UDF. At 100 TB the
+  expensive UDF therefore touches ~(points near any polygon edge cell)
+  rows, not all points.
+- kNN: two implementations. ``knn_bruteforce`` (cross-join; ORACLE-able in
+  ANSI SQL, used as the correctness reference) and ``knn_cells`` — ring
+  expansion over grid cells: r=0,1,2,... joins, stopping per-query as soon
+  as k neighbors are guaranteed correct (found-distance <= ring reach).
+- Rollups: straight groupBy(cell) + optional two-phase SALTED variant for
+  skewed hot cells (one city = 25% of traffic in the synth world): partial
+  agg on (cell, salt) then final merge — the classic skew-safe pattern.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import ArrayType, BooleanType, LongType
+
+from ..functions.geo import grid_cell_col, haversine_col
+
+# ---------------------------------------------------------------------------
+# point-in-polygon (J9)
+# ---------------------------------------------------------------------------
+
+
+def _cover_cells_udf(cells_per_degree: int):
+    @pandas_udf(ArrayType(LongType()))
+    def _cover(minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series) -> pd.Series:
+        out = []
+        w = 360 * cells_per_degree
+        for x0, y0, x1, y1 in zip(minx, miny, maxx, maxy):
+            ix0 = math.floor((x0 + 180.0) * cells_per_degree)
+            ix1 = math.floor((x1 + 180.0) * cells_per_degree)
+            iy0 = math.floor((y0 + 90.0) * cells_per_degree)
+            iy1 = math.floor((y1 + 90.0) * cells_per_degree)
+            out.append(
+                [iy * w + ix for iy in range(iy0, iy1 + 1) for ix in range(ix0, ix1 + 1)]
+            )
+        return pd.Series(out)
+
+    return _cover
+
+
+@pandas_udf(BooleanType())
+def _ray_cast_udf(
+    lon: pd.Series, lat: pd.Series, ring_xy: pd.Series, ring_offsets: pd.Series
+) -> pd.Series:
+    """Even-odd ray casting over packed coordinate arrays. Multiple rings
+    (holes) compose naturally under the even-odd rule. Half-open y-range
+    test => points exactly on a horizontal edge resolve deterministically."""
+    res = np.zeros(len(lon), dtype=bool)
+    for n, (px, py, xy, offs) in enumerate(zip(lon.to_numpy(), lat.to_numpy(), ring_xy, ring_offsets)):
+        xy = np.asarray(xy, dtype=np.float64)
+        inside = False
+        offs = list(offs)
+        for ri in range(len(offs) - 1):
+            ring = xy[offs[ri] : offs[ri + 1]]
+            xs = ring[0::2]
+            ys = ring[1::2]
+            x2 = np.roll(xs, -1)
+            y2 = np.roll(ys, -1)
+            # edges straddling the horizontal line through py (half-open)
+            straddle = (ys > py) != (y2 > py)
+            if straddle.any():
+                xi = xs[straddle] + (py - ys[straddle]) / (y2[straddle] - ys[straddle]) * (
+                    x2[straddle] - xs[straddle]
+                )
+                inside ^= bool(np.count_nonzero(xi > px) & 1)
+        res[n] = inside
+    return pd.Series(res)
+
+
+def point_in_polygon_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    cells_per_degree: int = 32,
+    how: str = "inner",
+) -> DataFrame:
+    """Assign each point to the polygon(s) containing it.
+
+    points: any DataFrame with lat/lon columns.
+    polygons: (poly_id, name, ring_xy, ring_offsets, bbox_*) per FIXTURES.md §4.
+    Returns points columns + (poly_id, poly_name).
+    """
+    cover = _cover_cells_udf(cells_per_degree)
+    poly_cells = polygons.withColumn(
+        "cell",
+        F.explode(
+            cover(F.col("bbox_minx"), F.col("bbox_miny"), F.col("bbox_maxx"), F.col("bbox_maxy"))
+        ),
+    ).select(
+        "cell",
+        F.col("poly_id"),
+        F.col("name").alias("poly_name"),
+        "ring_xy", "ring_offsets", "bbox_minx", "bbox_miny", "bbox_maxx", "bbox_maxy",
+    )
+
+    pts = points.withColumn("cell", grid_cell_col(F.col(lat_col), F.col(lon_col), cells_per_degree))
+
+    joined = pts.join(F.broadcast(poly_cells), on="cell", how="inner").filter(
+        (F.col(lon_col) >= F.col("bbox_minx"))
+        & (F.col(lon_col) <= F.col("bbox_maxx"))
+        & (F.col(lat_col) >= F.col("bbox_miny"))
+        & (F.col(lat_col) <= F.col("bbox_maxy"))
+    )
+    hit = joined.filter(
+        _ray_cast_udf(F.col(lon_col), F.col(lat_col), F.col("ring_xy"), F.col("ring_offsets"))
+    ).drop("ring_xy", "ring_offsets", "bbox_minx", "bbox_miny", "bbox_maxx", "bbox_maxy", "cell")
+
+    if how == "inner":
+        return hit
+    # left: keep unmatched points with null poly
+    return points.join(hit.select(points.columns + ["poly_id", "poly_name"]), on=points.columns, how="left")
+
+
+# ---------------------------------------------------------------------------
+# kNN (J10)
+# ---------------------------------------------------------------------------
+
+
+def knn_bruteforce(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    target_id: str = "place_id",
+) -> DataFrame:
+    """Exact kNN via broadcast cross join + window top-k. The correctness
+    oracle for knn_cells; also ANSI-SQL-expressible for the DuckDB gate.
+    Deterministic tie-break on (dist, target_id)."""
+    t = F.broadcast(
+        targets.select(
+            F.col(target_id).alias("_tid"),
+            F.col("lat").alias("_tlat"),
+            F.col("lon").alias("_tlon"),
+        )
+    )
+    j = queries.crossJoin(t).withColumn(
+        "dist_km",
+        F.round(haversine_col(F.col("lat"), F.col("lon"), F.col("_tlat"), F.col("_tlon")), 9),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("dist_km").asc(), F.col("_tid").asc())
+    return (
+        j.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .drop("_tlat", "_tlon")
+        .withColumnRenamed("_tid", "neighbor_id")
+    )
+
+
+def knn_cells(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    target_id: str = "place_id",
+    cells_per_degree: int = 32,
+    max_rings: int = 8,
+) -> DataFrame:
+    """Scale-path kNN: grid-cell ring expansion (SURVEY.md J10/W4).
+
+    Ring r candidates = targets in the (2r+1)^2 cell block around the query
+    cell. A query's result is final once its k-th neighbor distance is <=
+    the minimum distance any target OUTSIDE the searched block could have
+    (r cells of guaranteed reach); unfinished queries continue to the next
+    ring. Driver loop depth <= max_rings, each iteration a broadcast join —
+    the big side never shuffles.
+    """
+    w_cells = 360 * cells_per_degree
+    t = targets.select(
+        F.col(target_id).alias("_tid"),
+        F.col("lat").alias("_tlat"),
+        F.col("lon").alias("_tlon"),
+        grid_cell_col(F.col("lat"), F.col("lon"), cells_per_degree).alias("_tcell"),
+    )
+
+    q = queries.withColumn("_qcell", grid_cell_col(F.col("lat"), F.col("lon"), cells_per_degree))
+    # cell height in km (lat direction is uniform; lon shrinks with cos(lat),
+    # so the lat-based bound is the safe one at |lat| < 66 deg for ring math
+    # we use the smaller km-per-cell of the two axes at the query latitude)
+    cell_h_km = 111.19492664455873 / cells_per_degree
+
+    remaining = q
+    done_parts: list[DataFrame] = []
+    for r in range(max_rings + 1):
+        offs = [(dy, dx) for dy in range(-r, r + 1) for dx in range(-r, r + 1)]
+        offs_arr = F.array(*[F.lit(dy * w_cells + dx) for dy, dx in offs])
+        cand = (
+            remaining.withColumn("_off", F.explode(offs_arr))
+            .withColumn("_cell", F.col("_off") + F.col("_qcell"))
+            .drop("_off")
+            .join(F.broadcast(t), F.col("_cell") == t._tcell, "inner")
+        )
+        scored = cand.withColumn(
+            "dist_km",
+            F.round(haversine_col(F.col("lat"), F.col("lon"), F.col("_tlat"), F.col("_tlon")), 9),
+        )
+        wnd = Window.partitionBy(query_id).orderBy(F.col("dist_km").asc(), F.col("_tid").asc())
+        topk = scored.withColumn("knn_rank", F.row_number().over(wnd)).filter(
+            F.col("knn_rank") <= k
+        )
+        # guaranteed reach of the searched block: r full cells beyond the
+        # query's own cell. Longitude cells are narrower in km by cos(lat),
+        # so the safe bound uses the lon-direction width (with margin).
+        kth = topk.groupBy(query_id).agg(
+            F.max("dist_km").alias("_kth"),
+            F.count("*").alias("_n"),
+            F.min(F.cos(F.radians(F.col("lat")))).alias("_coslat"),
+        )
+        reach_km = F.lit(r * cell_h_km) * F.col("_coslat") * F.lit(0.99)
+        finished_keys = kth.filter((F.col("_n") >= k) & (F.col("_kth") <= reach_km)).select(
+            query_id
+        )
+        if r == max_rings:  # last ring: everything found is final
+            finished_keys = kth.select(query_id)
+        finished = topk.join(finished_keys, on=query_id, how="inner")
+        done_parts.append(
+            finished.drop("_qcell", "_cell", "_tcell", "_tlat", "_tlon").withColumnRenamed(
+                "_tid", "neighbor_id"
+            ).localCheckpoint(eager=True)
+        )
+        remaining = remaining.join(finished_keys, on=query_id, how="left_anti").localCheckpoint(
+            eager=True
+        )
+        if remaining.isEmpty():
+            break
+
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# tile rollups (A9)
+# ---------------------------------------------------------------------------
+
+
+def tile_rollup(
+    points: DataFrame,
+    cell_col: str = "cell",
+    count_distinct_col: str | None = None,
+    avg_cols: tuple[str, ...] = (),
+    salt_partitions: int | None = None,
+    salt_key: str | None = None,
+) -> DataFrame:
+    """counts (+ distinct + means) per tile cell.
+
+    ``salt_partitions``: two-phase aggregation for skewed hot cells —
+    partial agg on (cell, salt) then merge. count_distinct falls back to
+    the plain path (distinct cannot be salted without a set union; use
+    approx_count_distinct at 100 TB scale instead)."""
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if count_distinct_col:
+        aggs.append(F.countDistinct(count_distinct_col).alias(f"n_{count_distinct_col}"))
+    for c in avg_cols:
+        aggs.append(F.avg(c).alias(f"avg_{c}"))
+
+    if not salt_partitions or count_distinct_col:
+        return points.groupBy(cell_col).agg(*aggs)
+
+    key = F.col(salt_key) if salt_key else F.spark_partition_id()
+    salted = points.withColumn("_salt", F.pmod(F.hash(key), F.lit(salt_partitions)))
+    partial_aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.sum(c).alias(f"_s_{c}") for c in avg_cols
+    ]
+    partial = salted.groupBy(cell_col, "_salt").agg(*partial_aggs)
+    final_aggs = [F.sum("_n").alias("n")] + [
+        (F.sum(f"_s_{c}") / F.sum("_n")).alias(f"avg_{c}") for c in avg_cols
+    ]
+    return partial.groupBy(cell_col).agg(*final_aggs)
+
+
+def multi_zoom_rollup(
+    points: DataFrame, cell_expr: Column, parent_expr_fn, levels: list[int]
+) -> DataFrame:
+    """Hierarchical rollup: compute the finest cells once, then roll up to
+    coarser zooms with pure integer parent math (no re-scan of the input)."""
+    finest = points.withColumn("cell", cell_expr)
+    base = finest.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    outs = [base.withColumn("zoom", F.lit(levels[0]))]
+    for lv in levels[1:]:
+        outs.append(
+            base.withColumn("cell", parent_expr_fn(F.col("cell"), lv))
+            .groupBy("cell")
+            .agg(F.sum("n").alias("n"))
+            .withColumn("zoom", F.lit(lv))
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# as-of dedup (J11): latest crawl per url
+# ---------------------------------------------------------------------------
+
+
+def latest_snapshot(pages: DataFrame, key: str = "url", ts: str = "warc_ts") -> DataFrame:
+    w = Window.partitionBy(key).orderBy(F.col(ts).desc())
+    return pages.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")

@@ -31,8 +31,8 @@ from .functions.text import extract_text
 # (name_fr, name_nl_or_None, postcode, lat, lon, weight)
 CITIES = [
     ("Bruxenne", "Brussene", "1000", 50.8466, 4.3528, 0.25),  # HOT city (skew)
-    ("Saint-Gervais", "Sint-Gervaas", "1060", 50.8262, 4.3440, 0.10),
-    ("Elsette", "Elsene-Zuid", "1050", 50.8333, 4.3667, 0.08),
+    ("Saint-Gervais", "Sint-Gervaas", "1060", 50.7800, 4.2800, 0.10),
+    ("Elsette", "Elsene-Zuid", "1050", 50.9100, 4.4300, 0.08),
     ("Lieffe", None, "4000", 50.6326, 5.5797, 0.08),
     ("Gandaux", "Gentbeke", "9000", 51.0543, 3.7174, 0.08),
     ("Anverre", "Antwerpe", "2000", 51.2194, 4.4025, 0.08),
@@ -121,8 +121,10 @@ def gen_gazetteer(n_streets: int = 240, houses_per_street: int = 8, seed: int = 
         if has_old:
             alt["old_name"] = f"Ancienne {fr_street}"
 
-        slat = clat + float(rng.normal(0, 0.012))
-        slon = clon + float(rng.normal(0, 0.018))
+        # truncated offsets -> bounded city extent (PIP polygons can then
+        # guarantee containment without overlapping a neighboring city)
+        slat = clat + float(np.clip(rng.normal(0, 0.008), -0.02, 0.02))
+        slon = clon + float(np.clip(rng.normal(0, 0.008), -0.02, 0.02))
         street_pid = pid
         rows.append(
             dict(
@@ -143,8 +145,8 @@ def gen_gazetteer(n_streets: int = 240, houses_per_street: int = 8, seed: int = 
                     place_id=pid, parent_place_id=street_pid, street_name=canonical,
                     alt_names={}, house_number=str(hn), post_code=pc, city=name_fr,
                     country=COUNTRY,
-                    lat=slat + float(rng.normal(0, 0.0012)),
-                    lon=slon + float(rng.normal(0, 0.0018)),
+                    lat=slat + float(np.clip(rng.normal(0, 0.0012), -0.003, 0.003)),
+                    lon=slon + float(np.clip(rng.normal(0, 0.0018), -0.0045, 0.0045)),
                     place_rank=30, category="building",
                     importance=float(np.round(rng.uniform(0.0, 0.2), 6)),
                     name_fr=fr_street, name_nl=nl_street,
@@ -345,14 +347,19 @@ def gen_polygons(gaz: pd.DataFrame, seed: int = 45) -> pd.DataFrame:
             max_r = float(
                 np.sqrt((pts.lat - clat) ** 2 + (pts.lon - clon) ** 2).max()
             )
-        base_r = max_r * 1.35 + 0.01
+        base_r = max_r * 1.05 + 0.002
         n_vert = int(rng.integers(8, 14))
-        angles = np.sort(rng.uniform(0, 2 * np.pi, size=n_vert))
-        # concave for the hot city: alternate radius in/out but keep >= base_r
+        # evenly spaced angles with bounded jitter: max angular gap <=
+        # 1.6*(2pi/n), so radii >= base_r/cos(0.8*pi/n) guarantees every
+        # chord stays outside the point cloud (containment by construction)
+        spacing = 2 * np.pi / n_vert
+        angles = np.arange(n_vert) * spacing + rng.uniform(-0.3, 0.3, size=n_vert) * spacing
+        min_factor = 1.0 / np.cos(0.8 * np.pi / n_vert) + 0.02
+        # concave for the hot city: alternate radius in/out (still >= min)
         if poly_id == 0:
-            radii = base_r * (1.0 + 0.8 * (np.arange(n_vert) % 2))
+            radii = base_r * min_factor * (1.0 + 0.45 * (np.arange(n_vert) % 2))
         else:
-            radii = base_r * rng.uniform(1.0, 1.4, size=n_vert)
+            radii = base_r * min_factor * rng.uniform(1.0, 1.2, size=n_vert)
         xs = clon + radii * np.cos(angles)
         ys = clat + radii * np.sin(angles)
         ring = np.empty(2 * n_vert)
@@ -403,6 +410,9 @@ def write_world(path: str, world: dict[str, pd.DataFrame] | None = None, **kw) -
     os.makedirs(path, exist_ok=True)
     for name, df in world.items():
         df = df.copy()
+        for c in df.columns:  # Spark cannot read TIMESTAMP(NANOS) parquet
+            if str(df[c].dtype).startswith("datetime64[ns"):
+                df[c] = df[c].astype(str(df[c].dtype).replace("ns", "us"))
         if name == "gazetteer":
             # list<struct<key,value>> so Spark reads map_from_entries-ready
             df["alt_names"] = df["alt_names"].map(

@@ -1,0 +1,151 @@
+# -*- coding: utf-8 -*-
+"""PIP / kNN / rollup / pages-pipeline tests on the synthetic world."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from nominatimwrapper_spark.functions.geo import grid_cell_col, haversine_km
+from nominatimwrapper_spark.operators.pages import (
+    extract_addresses_from_text,
+    pages_to_addresses,
+    verify_text_bytes,
+)
+from nominatimwrapper_spark.operators.spatial import (
+    knn_bruteforce,
+    knn_cells,
+    latest_snapshot,
+    point_in_polygon_join,
+    tile_rollup,
+)
+from nominatimwrapper_spark.synth import gen_world, write_world
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    w = gen_world(n_streets=80, houses_per_street=5, n_pages=200, n_per_class=4)
+    d = tmp_path_factory.mktemp("world2")
+    write_world(str(d), w)
+    w["_dir"] = str(d)
+    return w
+
+
+def test_extract_addresses_regex():
+    text = (
+        "menu Adresse: Avenue Louise 12, 1050 Elsette horaires tel 02/123.45 "
+        "Adresse: Louizalaan 9b, 1000 Bruxenne fin"
+    )
+    got = extract_addresses_from_text(text)
+    assert got == [
+        dict(street="Avenue Louise", housenbr="12", postcode="1050", city="Elsette"),
+        dict(street="Louizalaan", housenbr="9b", postcode="1000", city="Bruxenne"),
+    ]
+
+
+def test_byte_identity_invariant(spark, world):
+    pages = spark.read.parquet(f"{world['_dir']}/pages.parquet")
+    bad = verify_text_bytes(pages)
+    assert bad.isEmpty(), bad.limit(3).toPandas()
+
+
+def test_pages_to_addresses_counts(spark, world):
+    pages = spark.read.parquet(f"{world['_dir']}/pages.parquet")
+    addrs = pages_to_addresses(pages).toPandas()
+    # every extracted address references a real gazetteer locality
+    gaz = world["gazetteer"]
+    assert set(addrs.postcode) <= set(gaz.post_code)
+    # dedup: addr_key unique
+    assert addrs.addr_key.is_unique
+    # urls with duplicate crawls keep only the latest warc_ts
+    pg = world["pages"]
+    latest = pg.groupby("url").warc_ts.max()
+    merged = addrs.merge(latest.rename("max_ts"), left_on="url", right_index=True)
+    assert (_naive(merged.warc_ts) == _naive(merged.max_ts)).all()
+
+
+def _naive(s: pd.Series) -> pd.Series:
+    return s.dt.tz_localize(None) if s.dt.tz is not None else s
+
+
+def test_latest_snapshot(spark, world):
+    pages = spark.read.parquet(f"{world['_dir']}/pages.parquet")
+    snap = latest_snapshot(pages).toPandas()
+    assert snap.url.is_unique
+    exp = world["pages"].groupby("url").warc_ts.max()
+    got = snap.set_index("url").warc_ts
+    assert (_naive(got.sort_index()) == _naive(exp.sort_index())).all()
+
+
+def test_pip_assigns_city_polygon(spark, world):
+    """Every gazetteer point must fall in its own city's polygon (polygons
+    are constructed to contain all their city's points)."""
+    gaz = spark.read.parquet(f"{world['_dir']}/gazetteer.parquet")
+    polys = spark.read.parquet(f"{world['_dir']}/polygons.parquet")
+    hit = point_in_polygon_join(gaz.select("place_id", "post_code", "lat", "lon"), polys)
+    got = hit.toPandas()
+    # each point in >= 1 polygon, and the matching polygon is its city's
+    n_points = gaz.count()
+    own = got[got.post_code.notna()]
+    poly_pc = world["polygons"].set_index("poly_id").post_code
+    own = own.assign(poly_pc=own.poly_id.map(poly_pc))
+    assert (own.poly_pc == own.post_code).all()
+    assert own.place_id.nunique() == n_points
+
+
+def test_pip_edge_cases(spark):
+    """Concave ring + ring-with-hole truth table."""
+    # square with square hole: outer (0,0)-(10,10), hole (4,4)-(6,6)
+    polys = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                dict(
+                    poly_id=1, name="holey", post_code="",
+                    ring_xy=[0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0,
+                             4.0, 4.0, 6.0, 4.0, 6.0, 6.0, 4.0, 6.0],
+                    ring_offsets=[0, 8, 16],
+                    bbox_minx=0.0, bbox_miny=0.0, bbox_maxx=10.0, bbox_maxy=10.0,
+                )
+            ]
+        )
+    )
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            dict(
+                pid=[1, 2, 3, 4, 5],
+                lon=[2.0, 5.0, 11.0, 4.5, 9.999999],
+                lat=[2.0, 5.0, 5.0, 5.9999, 9.999999],
+            )
+        )
+    )
+    got = point_in_polygon_join(pts, polys).toPandas()
+    assert set(got.pid) == {1, 5}  # 2 and 4 are in the hole, 3 outside
+
+
+def test_knn_cells_matches_bruteforce(spark, world):
+    gaz = spark.read.parquet(f"{world['_dir']}/gazetteer.parquet")
+    targets = gaz.filter(F.col("place_rank") == 30).select("place_id", "lat", "lon")
+    qpdf = world["gazetteer"][world["gazetteer"].place_rank == 26].head(40)[
+        ["place_id", "lat", "lon"]
+    ].rename(columns={"place_id": "query_id"})
+    queries = spark.createDataFrame(qpdf)
+
+    bf = knn_bruteforce(queries, targets, k=3).select("query_id", "neighbor_id", "knn_rank").toPandas()
+    cc = knn_cells(queries, targets, k=3).select("query_id", "neighbor_id", "knn_rank").toPandas()
+    bf = bf.sort_values(["query_id", "knn_rank"]).reset_index(drop=True)
+    cc = cc.sort_values(["query_id", "knn_rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(bf, cc)
+
+
+def test_tile_rollup_plain_vs_salted(spark, world):
+    gaz = spark.read.parquet(f"{world['_dir']}/gazetteer.parquet")
+    pts = gaz.withColumn("cell", grid_cell_col(F.col("lat"), F.col("lon")))
+    plain = tile_rollup(pts, "cell", avg_cols=("lat",)).toPandas()
+    salted = tile_rollup(pts, "cell", avg_cols=("lat",), salt_partitions=8, salt_key="place_id").toPandas()
+    p = plain.sort_values("cell").reset_index(drop=True)
+    s = salted.sort_values("cell").reset_index(drop=True)
+    assert (p.cell == s.cell).all()
+    assert (p.n == s.n).all()
+    np.testing.assert_allclose(p.avg_lat, s.avg_lat, rtol=1e-12)
