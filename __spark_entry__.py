@@ -1,38 +1,82 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship lifecycle at sf0.001 (documents -> pages
+-> frozen text extraction -> address extraction -> geocode cascade -> S2
+tiling). ``queries()`` exposes one entry per implemented operator family
+from SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for
+every SQL-expressible one (hash-safe: integer/string output columns only).
+Non-SQL operators (S2 cells, MinHash/SimHash, lang-ID, the cascade, PIP,
+ring-kNN) are registered without an oracle -> rows-only checks.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+
+from nominatimwrapper_spark.plans import driver_queries as dq  # noqa: E402
+from nominatimwrapper_spark.plans import flagship as fs  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return fs.flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational core (SQL-oracled)
+        "top1_per_group": dq.q_top1_per_group,          # A1/W2
+        "anti_join": dq.q_anti_join,                    # J3
+        "broadcast_join_agg": dq.q_broadcast_join_agg,  # J1 + partial agg
+        "left_join": dq.q_left_join,                    # J2
+        "union_dedup": dq.q_union_dedup,                # U1/A5
+        "coalesce_collapse": dq.q_coalesce_collapse,    # A6
+        "value_counts": dq.q_value_counts,              # A3
+        "asof_latest": dq.q_asof_latest,                # J11/W
+        "postcode_score": dq.q_postcode_score,          # F10 when-chain
+        "haversine": dq.q_haversine,                    # F14
+        "grid_rollup": dq.q_grid_rollup,                # A9
+        "grid_parent_rollup": dq.q_grid_parent_rollup,  # A9 zoom-out
+        "knn_topk": dq.q_knn_topk,                      # J10/W4 oracle
+        "dedup_exact": dq.q_dedup_exact,                # dedup: exact
+        "token_stats": dq.q_token_stats,                # text analysis
+        "cosine_topk": dq.q_cosine_topk,                # similarity search
+        "window_time_bucket": dq.q_window_time_bucket,  # streaming analog
+        # engine-native (rows-only)
+        "geocode_flagship": fs.q_geocode_flagship,      # §3.4 lifecycle
+        "s2_rollup": fs.q_s2_rollup,                    # F19/F21 + A9
+        "lang_quality": fs.q_lang_quality,              # lang-ID + quality
+        "simhash_near_dups": fs.q_simhash_near_dups,    # dedup: SimHash
+        "minhash_lsh": fs.q_minhash_lsh,                # dedup: MinHash LSH
+        "ngram_jaccard": fs.q_ngram_jaccard,            # dedup: n-gram
+        "pip_flagship": fs.q_pip_flagship,              # J9
+        "knn_cells_flagship": fs.q_knn_cells_flagship,  # J10 scale path
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "top1_per_group": dq.SQL_TOP1,
+        "anti_join": dq.SQL_ANTI,
+        "broadcast_join_agg": dq.SQL_BJOIN,
+        "left_join": dq.SQL_LJOIN,
+        "union_dedup": dq.SQL_UNION,
+        "coalesce_collapse": dq.SQL_COALESCE,
+        "value_counts": dq.SQL_VCOUNTS,
+        "asof_latest": dq.SQL_ASOF,
+        "postcode_score": dq.SQL_PCSCORE,
+        "haversine": dq.SQL_HAVERSINE,
+        "grid_rollup": dq.SQL_GRID,
+        "grid_parent_rollup": dq.SQL_GRID_PARENT,
+        "knn_topk": dq.SQL_KNN,
+        "dedup_exact": dq.SQL_DEDUP,
+        "token_stats": dq.SQL_TOKENS,
+        "cosine_topk": dq.SQL_COSINE,
+        "window_time_bucket": dq.SQL_WINDOW_BUCKET,
+    }

@@ -345,7 +345,10 @@ def _pick_best(scored: DataFrame, max_res: int = 1) -> tuple[DataFrame, DataFram
     """Split keep/reject: elimination rule, then best-per-key window
     (check_result_utils.py:532-554)."""
     elim = elimination_rule(F.col("sim_post_code"), F.col("sim_city"), F.col("sim_street"))
-    scored = scored.withColumn("_elim", elim).cache()
+    # eager materialization: half a dozen downstream actions (parent rescue,
+    # retry guards, keep/tail splits) would otherwise re-run the pandas-UDF
+    # scoring pipeline each time
+    scored = scored.withColumn("_elim", elim).localCheckpoint(eager=True)
 
     mismatch = scored.filter(F.col("_elim")).withColumn("reject_reason", F.lit("mismatch"))
 

@@ -1,0 +1,415 @@
+# -*- coding: utf-8 -*-
+"""Driver-contract queries: one per operator family from SURVEY.md §2,
+running on the driver's TPC-H-ish tables, each with an ANSI-SQL oracle
+DuckDB can execute on the same parquet files.
+
+Hash-safety rule: every oracle-checked output column is an INTEGER or
+STRING. Floats are scaled+rounded+cast (e.g. cents, meters, 1e-6 cosine
+units) so Spark/DuckDB value hashes cannot diverge on float ULPs.
+Non-SQL-expressible operators (S2 cells, MinHash/SimHash, language ID,
+the geocode cascade) are registered without an oracle -> rows-only check.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.geo import grid_cell_col, grid_cell_parent_col, haversine_col
+
+EARTH_2R = "12742.0176"  # 2 * 6371.0088, spelled identically in both engines
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# derived deterministic geo columns (same formula inlined in the SQL oracles)
+def _cust_points(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.lit(49.5) + (F.col("c_custkey") % 2000) / 1000.0).alias("lat"),
+        (F.lit(2.5) + ((F.col("c_custkey") * 7) % 3900) / 1000.0).alias("lon"),
+    )
+
+
+_CUST_POINTS_SQL = (
+    "SELECT c_custkey, 49.5 + (c_custkey % 2000)/1000.0 AS lat, "
+    "2.5 + ((c_custkey*7) % 3900)/1000.0 AS lon FROM customer"
+)
+
+
+def _supp_points(spark, sf_dir):
+    return _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.lit(49.5) + ((F.col("s_suppkey") * 13) % 2000) / 1000.0).alias("lat"),
+        (F.lit(2.5) + ((F.col("s_suppkey") * 29) % 3900) / 1000.0).alias("lon"),
+    )
+
+
+_SUPP_POINTS_SQL = (
+    "SELECT s_suppkey, 49.5 + ((s_suppkey*13) % 2000)/1000.0 AS lat, "
+    "2.5 + ((s_suppkey*29) % 3900)/1000.0 AS lon FROM supplier"
+)
+
+
+def _hav_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    return (
+        f"{EARTH_2R} * asin(sqrt("
+        f"pow(sin(radians(({lat2})-({lat1}))/2),2) + "
+        f"cos(radians({lat1}))*cos(radians({lat2}))*"
+        f"pow(sin(radians(({lon2})-({lon1}))/2),2)))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL-oracled queries
+# ---------------------------------------------------------------------------
+
+
+def q_top1_per_group(spark, sf_dir):
+    """A1/W2 — best-per-key window with composite tie-break."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_quantity").desc(), F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c"),
+        )
+    )
+
+
+SQL_TOP1 = """
+SELECT l_orderkey, l_linenumber, CAST(round(l_quantity*100) AS BIGINT) AS qty_c
+FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+      ORDER BY l_quantity DESC, l_extendedprice DESC, l_linenumber ASC) AS rn
+      FROM lineitem) WHERE rn = 1
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    """J3 — left-anti join (cascade shrink pattern)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+SQL_ANTI = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_broadcast_join_agg(spark, sf_dir):
+    """J1/A-partial — broadcast dim join + aggregation (map-side combine)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
+            .cast("long")
+            .alias("rev_c"),
+        )
+    )
+
+
+SQL_BJOIN = """
+SELECT p_brand, count(*) AS n,
+       CAST(round(sum(l_extendedprice*(1-l_discount))*100) AS BIGINT) AS rev_c
+FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand
+"""
+
+
+def q_left_join(spark, sf_dir):
+    """J2 — left join restoring a dimension (null-preserving)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey",
+        "o_custkey",
+        F.coalesce("c_name", F.lit("?")).alias("cust_name"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+
+
+SQL_LJOIN = """
+SELECT o_orderkey, o_custkey, coalesce(c_name, '?') AS cust_name,
+       CAST(round(o_totalprice*100) AS BIGINT) AS price_c
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_union_dedup(spark, sf_dir):
+    """U1/A5 — schema-aligned union + dedup."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 50000).select("o_orderkey", "o_orderpriority")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey", "o_orderpriority")
+    return a.unionByName(b).dropDuplicates(["o_orderkey"])
+
+
+SQL_UNION = """
+SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 50000
+UNION
+SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+def q_coalesce_collapse(spark, sf_dir):
+    """A6 — fillna-collapse (first non-null of an ordered column list)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .groupBy(F.coalesce("n_name", F.lit("UNKNOWN")).alias("nation_name"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+
+
+SQL_COALESCE = """
+SELECT coalesce(n_name, 'UNKNOWN') AS nation_name, count(*) AS n_cust
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+GROUP BY coalesce(n_name, 'UNKNOWN')
+"""
+
+
+def q_value_counts(spark, sf_dir):
+    """A3 — frequency table."""
+    return _t(spark, sf_dir, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_VCOUNTS = "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+
+
+def q_asof_latest(spark, sf_dir):
+    """J11/W — as-of dedup: latest event per user (ties -> highest id)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+SQL_ASOF = """
+SELECT user_id, event_id, event_type
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1
+"""
+
+
+def q_postcode_score(spark, sf_dir):
+    """F10 as a when-chain Column expression (the checker's postcode
+    compare, scaled x10 to integers)."""
+    c = _t(spark, sf_dir, "customer")
+    pc1 = F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0")
+    pc2 = F.lpad(((F.col("c_custkey") * 7 + 13) % 10000).cast("string"), 4, "0")
+    score = (
+        F.when(pc1 == pc2, 10)
+        .when(F.substring(pc1, 1, 2) == F.substring(pc2, 1, 2), 5)
+        .when(F.substring(pc1, 1, 1) == F.substring(pc2, 1, 1), 3)
+        .otherwise(0)
+    )
+    return c.select("c_custkey", score.alias("pc_score"))
+
+
+SQL_PCSCORE = """
+SELECT c_custkey,
+  CASE WHEN pc1 = pc2 THEN 10
+       WHEN substring(pc1,1,2) = substring(pc2,1,2) THEN 5
+       WHEN substring(pc1,1,1) = substring(pc2,1,1) THEN 3
+       ELSE 0 END AS pc_score
+FROM (SELECT c_custkey,
+             lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS pc1,
+             lpad(CAST((c_custkey*7+13) % 10000 AS VARCHAR), 4, '0') AS pc2
+      FROM customer)
+"""
+
+
+def q_haversine(spark, sf_dir):
+    """F14 — haversine distance as Column math (meters, integer)."""
+    pts = _cust_points(spark, sf_dir)
+    return pts.select(
+        "c_custkey",
+        F.round(haversine_col(F.col("lat"), F.col("lon"), F.lit(50.8466), F.lit(4.3528)) * 1000)
+        .cast("long")
+        .alias("dist_m"),
+    )
+
+
+SQL_HAVERSINE = f"""
+SELECT c_custkey,
+       CAST(round(({_hav_sql('lat', 'lon', '50.8466', '4.3528')})*1000) AS BIGINT) AS dist_m
+FROM ({_CUST_POINTS_SQL})
+"""
+
+
+def q_grid_rollup(spark, sf_dir):
+    """A9 — tile rollup on integer grid cells."""
+    pts = _cust_points(spark, sf_dir)
+    return (
+        pts.withColumn("cell", grid_cell_col(F.col("lat"), F.col("lon")))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_GRID = f"""
+SELECT CAST(floor((lat+90.0)*32) AS BIGINT)*11520 + CAST(floor((lon+180.0)*32) AS BIGINT) AS cell,
+       count(*) AS n
+FROM ({_CUST_POINTS_SQL}) GROUP BY 1
+"""
+
+
+def q_grid_parent_rollup(spark, sf_dir):
+    """A9 zoom-out — parent-cell rollup via integer math only."""
+    base = q_grid_rollup(spark, sf_dir)
+    return (
+        base.withColumn("pcell", grid_cell_parent_col(F.col("cell")))
+        .groupBy("pcell")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+SQL_GRID_PARENT = f"""
+SELECT CAST(floor(CAST(floor(cell/11520.0) AS BIGINT)/8.0) AS BIGINT)*1440
+       + CAST(floor((cell % 11520)/8.0) AS BIGINT) AS pcell,
+       sum(n) AS n
+FROM ({SQL_GRID.strip()}) GROUP BY 1
+"""
+
+
+def q_knn_topk(spark, sf_dir):
+    """J10/W4 — kNN: 3 nearest suppliers per sampled customer point.
+    Tie-break on integer meters + supplier key for cross-engine determinism."""
+    q = _cust_points(spark, sf_dir).filter(F.col("c_custkey") % 149 == 0)
+    t = _supp_points(spark, sf_dir)
+    j = q.crossJoin(
+        F.broadcast(
+            t.select(
+                F.col("s_suppkey"), F.col("lat").alias("slat"), F.col("lon").alias("slon")
+            )
+        )
+    ).withColumn(
+        "dist_m",
+        F.round(haversine_col(F.col("lat"), F.col("lon"), F.col("slat"), F.col("slon")) * 1000)
+        .cast("long"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy(F.col("dist_m").asc(), F.col("s_suppkey").asc())
+    return (
+        j.withColumn("knn_rank", F.row_number().over(w))
+        .filter("knn_rank <= 3")
+        .select("c_custkey", "s_suppkey", "knn_rank", "dist_m")
+    )
+
+
+SQL_KNN = f"""
+WITH q AS (SELECT * FROM ({_CUST_POINTS_SQL}) WHERE c_custkey % 149 = 0),
+     t AS ({_SUPP_POINTS_SQL}),
+     j AS (SELECT q.c_custkey, t.s_suppkey,
+             CAST(round(({_hav_sql('q.lat', 'q.lon', 't.lat', 't.lon')})*1000) AS BIGINT) AS dist_m
+           FROM q CROSS JOIN t)
+SELECT c_custkey, s_suppkey, knn_rank, dist_m
+FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey
+      ORDER BY dist_m ASC, s_suppkey ASC) AS knn_rank FROM j)
+WHERE knn_rank <= 3
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Dedup (exact): hash-groupBy on content, keep lowest doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text")).alias("content_md5")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+SQL_DEDUP = """
+SELECT md5(text) AS content_md5, min(doc_id) AS keep_doc_id, count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    """Text analysis: token count + punctuation count per document."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), "\\s+")).alias("n_tokens"),
+        F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9\\s]", "")).alias("n_punct"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+SQL_TOKENS = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_punct,
+       length(text) AS n_chars_actual
+FROM documents
+"""
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Similarity search: brute-force cosine top-10 vs the vec_id=0 probe.
+    Dot/norm computed with the same left-to-right accumulation in both
+    engines; similarity scaled to 1e-4 units as integer."""
+    e = _t(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("probe"))
+    j = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(probe))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sim = dot(F.col("embedding"), F.col("probe")) / (
+        F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(dot(F.col("probe"), F.col("probe")))
+    )
+    scored = j.select("vec_id", F.round(sim * 10000).cast("long").alias("sim_1e4"))
+    w = Window.orderBy(F.col("sim_1e4").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter("rank <= 10")
+
+
+SQL_COSINE = """
+WITH p AS (SELECT embedding AS probe FROM embeddings WHERE vec_id = 0),
+     s AS (SELECT vec_id,
+             CAST(round(10000 * list_dot_product(embedding, probe) /
+               (sqrt(list_dot_product(embedding, embedding)) *
+                sqrt(list_dot_product(probe, probe)))) AS BIGINT) AS sim_1e4
+           FROM embeddings, p WHERE vec_id <> 0)
+SELECT vec_id, sim_1e4, rank FROM
+ (SELECT *, row_number() OVER (ORDER BY sim_1e4 DESC, vec_id ASC) AS rank FROM s)
+WHERE rank <= 10
+"""
+
+
+def q_window_time_bucket(spark, sf_dir):
+    """Streaming analog (batch): tumbling 1-hour window counts per type."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00").alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_WINDOW_BUCKET = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_bucket,
+       event_type, count(*) AS n
+FROM events GROUP BY 1, 2
+"""

@@ -1,0 +1,223 @@
+# -*- coding: utf-8 -*-
+"""Flagship pipeline + rows-only (non-SQL-expressible) driver queries.
+
+The flagship builds Common-Crawl-style pages FROM the driver's documents
+table (deterministic address injection keyed on doc_id against the synth
+gazetteer), then runs the full engine lifecycle:
+
+    documents -> html pages -> extract_text (frozen) -> extract addresses
+    -> geocode cascade -> S2 level-13 cells -> tiled output
+
+Page construction and text extraction are distributed Column ops/pandas
+UDFs — the only driver-side piece is the (small, broadcastable) synthetic
+gazetteer.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import s2
+from ..functions.text import detect_lang_udf, extract_text_udf
+from ..operators.dedup import (
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_udf,
+)
+from ..operators.geocode import GazetteerIndex, build_gazetteer_index, cascade
+from ..operators.pages import pages_to_addresses
+from ..operators.spatial import point_in_polygon_join, tile_rollup
+
+_WORLD_CACHE: dict[tuple, str] = {}
+
+
+def world_dir(n_streets: int = 120, houses_per_street: int = 6) -> str:
+    """Synth world parquet dir, generated once per process."""
+    key = (n_streets, houses_per_street)
+    if key not in _WORLD_CACHE:
+        from ..synth import gen_world, write_world
+
+        d = tempfile.mkdtemp(prefix="nwspark_world_")
+        write_world(
+            d, gen_world(n_streets=n_streets, houses_per_street=houses_per_street,
+                         n_pages=10, n_per_class=2)
+        )
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _WORLD_CACHE[key] = d
+    return _WORLD_CACHE[key]
+
+
+_INDEX_CACHE: dict[tuple, GazetteerIndex] = {}
+
+
+def gazetteer_index(spark: SparkSession, **kw) -> GazetteerIndex:
+    d = world_dir(**kw)
+    key = (id(spark), d)
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_gazetteer_index(spark.read.parquet(f"{d}/gazetteer.parquet"))
+    return _INDEX_CACHE[key]
+
+
+def pages_from_documents(
+    spark: SparkSession, sf_dir: str, replicate: int = 1, **kw
+) -> DataFrame:
+    """Build a pages(url, warc_ts, html, text, lang) table from the driver's
+    documents table, injecting one deterministic gazetteer address per doc.
+    Everything distributed: the join side is the broadcast house list.
+    ``replicate`` fans each document into N distinct pages (distributed
+    explode — used by the bench to measure throughput where data, not
+    per-stage overhead, dominates)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if replicate > 1:
+        docs = docs.withColumn(
+            "_rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1)))
+        ).withColumn(
+            "doc_id", F.col("doc_id") * replicate + F.col("_rep")
+        ).drop("_rep")
+    gaz = spark.read.parquet(f"{world_dir(**kw)}/gazetteer.parquet")
+    houses = (
+        gaz.filter(F.col("place_rank") == 30)
+        .select(
+            "name_fr", "house_number", "post_code", "city",
+            (F.row_number().over(Window.orderBy("place_id")) - 1).alias("_hidx"),
+        )
+    )
+    n_houses = houses.count()
+
+    docs = docs.withColumn("_hidx", (F.col("doc_id") % n_houses).cast("int"))
+    j = docs.join(F.broadcast(houses), on="_hidx", how="inner")
+
+    body = F.concat(
+        F.lit("<html><head><title>doc</title></head><body><p>"),
+        F.col("text"),
+        F.lit("</p><p>Adresse: "),
+        F.col("name_fr"), F.lit(" "), F.col("house_number"),
+        F.lit(", "), F.col("post_code"), F.lit(" "), F.col("city"),
+        F.lit("</p></body></html>"),
+    )
+    pages = j.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        (F.lit("2025-03-01 00:00:00").cast("timestamp") + F.make_interval(mins=F.col("doc_id").cast("int"))).alias("warc_ts"),
+        F.encode(body, "utf-8").alias("html"),
+        F.col("lang"),
+    )
+    return pages.withColumn("text", extract_text_udf(F.col("html")))
+
+
+def flagship(
+    spark: SparkSession, sf_dir: str, check_results: bool = True, replicate: int = 1
+) -> DataFrame:
+    """documents -> pages -> extract -> geocode -> S2 cells. Returns the
+    geocoded point table (one row per injected address)."""
+    pages = pages_from_documents(spark, sf_dir, replicate=replicate)
+    addrs = pages_to_addresses(pages)
+    index = gazetteer_index(spark)
+    res, _ = cascade(addrs, index, check_results=check_results, with_rejected=False)
+    return res.withColumn(
+        "cell13", s2.s2_cell_udf(13)(F.col("lat"), F.col("lon"))
+    ).select(
+        "addr_key", "url", "method",
+        F.col("place_id").cast("long").alias("place_id"),
+        F.col("place_rank").cast("long").alias("place_rank"),
+        "cell13",
+        F.round(F.col("lat") * 1_000_000).cast("long").alias("lat_1e6"),
+        F.round(F.col("lon") * 1_000_000).cast("long").alias("lon_1e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (no ANSI-SQL equivalent)
+# ---------------------------------------------------------------------------
+
+
+def q_geocode_flagship(spark, sf_dir):
+    """The full engine lifecycle (SURVEY.md §3.4) — rows-only check."""
+    return flagship(spark, sf_dir)
+
+
+def q_s2_rollup(spark, sf_dir):
+    """F19 + A9: S2 level-13 cells of derived customer points, rolled up,
+    plus the level-7 parent via pure bit math."""
+    from .driver_queries import _cust_points
+
+    pts = _cust_points(spark, sf_dir).withColumn(
+        "cell13", s2.s2_cell_udf(13)(F.col("lat"), F.col("lon"))
+    )
+    base = tile_rollup(pts, "cell13")
+    return base.withColumn("cell7", s2.s2_parent_col(F.col("cell13"), 7)).select(
+        "cell13", "cell7", "n"
+    )
+
+
+def q_lang_quality(spark, sf_dir):
+    """Language-ID heuristic + quality flags per document (UDF path)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    return d.select(
+        "doc_id",
+        detect_lang_udf(F.col("text")).alias("lang_detected"),
+        "lang",
+        toks.alias("n_tokens"),
+        (F.length("text") / F.greatest(toks, F.lit(1))).cast("int").alias("avg_token_len"),
+    )
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    """SimHash signatures + 16-bit band bucketing for near-dup candidates."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = simhash_udf()
+    sig = d.select("doc_id", sh(F.col("text")).alias("simhash"))
+    return sig.select(
+        "doc_id", "simhash",
+        F.pmod(F.col("simhash"), F.lit(65536)).cast("long").alias("band16"),
+    )
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH candidate pairs over documents."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_candidates(d, "doc_id", "text", num_hashes=32, bands=8)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Word-3-shingle Jaccard for consecutive-id pairs (integer 1e-4)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3)
+
+
+def q_pip_flagship(spark, sf_dir):
+    """J9: geocoded flagship points assigned to their city polygon."""
+    res = flagship(spark, sf_dir)
+    polys = spark.read.parquet(f"{world_dir()}/polygons.parquet")
+    pts = res.select(
+        "addr_key",
+        (F.col("lat_1e6") / 1e6).alias("lat"),
+        (F.col("lon_1e6") / 1e6).alias("lon"),
+    )
+    return point_in_polygon_join(pts, polys).select("addr_key", "poly_id", "poly_name")
+
+
+def q_knn_cells_flagship(spark, sf_dir):
+    """J10 scale path: 5 nearest gazetteer houses per geocoded point
+    (cell-ring expansion)."""
+    from ..operators.spatial import knn_cells
+
+    res = flagship(spark, sf_dir).limit(200)
+    gaz = spark.read.parquet(f"{world_dir()}/gazetteer.parquet")
+    targets = gaz.filter(F.col("place_rank") == 30).select("place_id", "lat", "lon")
+    qs = res.select(
+        F.col("addr_key").alias("query_id"),
+        (F.col("lat_1e6") / 1e6).alias("lat"),
+        (F.col("lon_1e6") / 1e6).alias("lon"),
+    )
+    out = knn_cells(qs, targets, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "knn_rank",
+        F.round(F.col("dist_km") * 1000).cast("long").alias("dist_m"),
+    )

@@ -1,0 +1,162 @@
+# -*- coding: utf-8 -*-
+"""Checkpoint/resume, streaming windowed agg, multimodal plumbing, dedup."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from nominatimwrapper_spark.operators.dedup import (
+    minhash_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+)
+from nominatimwrapper_spark.operators.multimodal import (
+    decode_media,
+    media_features,
+    sample_video_frames,
+    synth_media,
+)
+from nominatimwrapper_spark.sources.checkpoint import PartitionedCheckpointer
+from nominatimwrapper_spark.streaming.windowed import (
+    run_stream_over_dir,
+    windowed_event_counts,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+# ---------------------------------------------------------------------------
+# checkpoint / resume
+# ---------------------------------------------------------------------------
+
+
+def test_checkpoint_resume_no_recompute(spark, tmp_path):
+    out = str(tmp_path / "ckpt")
+    calls = []
+
+    def compute(part):
+        calls.append(part)
+        return spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == part
+        )
+
+    ck = PartitionedCheckpointer(out)
+    parts = ["1-URGENT", "2-HIGH"]
+    m1 = ck.run(parts, compute, input_fingerprint=lambda p: "v1")
+    assert calls == parts
+    assert all(not m["resumed"] for m in m1.values())
+
+    # simulated crash before the third partition; rerun with one more part
+    mtime_before = os.path.getmtime(os.path.join(out, "part=1-URGENT", "_manifest.json"))
+    m2 = ck.run(parts + ["3-MEDIUM"], compute, input_fingerprint=lambda p: "v1")
+    assert calls == parts + ["3-MEDIUM"]  # first two NOT recomputed
+    assert m2["1-URGENT"]["resumed"] and m2["2-HIGH"]["resumed"]
+    assert os.path.getmtime(os.path.join(out, "part=1-URGENT", "_manifest.json")) == mtime_before
+
+    # fingerprint change invalidates exactly that partition
+    ck.run(["1-URGENT"], compute, input_fingerprint=lambda p: "v2")
+    assert calls.count("1-URGENT") == 2
+
+    total = ck.read_all(spark)
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    expect = orders.filter(
+        F.col("o_orderpriority").isin(["1-URGENT", "2-HIGH", "3-MEDIUM"])
+    ).count()
+    assert total.count() == expect
+    assert "checkpoint_part" in total.columns
+
+
+# ---------------------------------------------------------------------------
+# streaming
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    events = spark.read.parquet(f"{SF}/events.parquet").limit(2000).cache()
+    # split into 3 file chunks -> incremental stream
+    in_dir = str(tmp_path / "in")
+    events.repartition(3).write.parquet(in_dir)
+
+    q = run_stream_over_dir(
+        spark, in_dir, events.schema, str(tmp_path / "ck"), query_name="t_win"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("select * from t_win").toPandas()
+    exp = windowed_event_counts(events).toPandas()
+    key = ["win_start", "win_end", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[key + ["n"]], exp[key + ["n"]])
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+def test_multimodal_decode_and_features(spark):
+    media = synth_media(spark, n=60)
+    dec = decode_media(media).toPandas()
+    assert len(dec) == 60
+    img = dec[dec.media_type == "image"]
+    assert img.width.notna().all() and (img.width >= 16).all()
+    aud = dec[dec.media_type == "audio"]
+    assert (aud.sample_rate == 16000).all()
+    vid = dec[dec.media_type == "video"]
+    assert vid.n_frames.notna().all()
+
+    feats = media_features(media).select("media_id", "features").toPandas()
+    assert all(len(f) == 16 for f in feats.features)
+    # deterministic: same payload -> same vector
+    f2 = media_features(media).select("media_id", "features").toPandas()
+    a = [tuple(v) for v in feats.sort_values("media_id").features]
+    b = [tuple(v) for v in f2.sort_values("media_id").features]
+    assert a == b
+
+
+def test_video_frame_sampling(spark):
+    media = synth_media(spark, n=30)
+    frames = sample_video_frames(media, every_k=10).toPandas()
+    dec = decode_media(media).toPandas().set_index("media_id")
+    for mid, grp in frames.groupby("media_id"):
+        n = int(dec.loc[mid, "n_frames"])
+        assert list(grp.frame_idx) == list(range(0, n, 10))
+        assert (grp.byte_offset.diff().dropna() == 640).all()
+
+
+# ---------------------------------------------------------------------------
+# dedup: minhash recall on true near-dups
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(100)
+    # plant near-duplicates: copy each doc with one appended token
+    dups = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+    )
+    all_docs = docs.select("doc_id", "text").unionByName(dups)
+    cand = minhash_lsh_candidates(all_docs, num_hashes=32, bands=8).toPandas()
+    planted = set(zip(range(0, 100), range(1_000_000, 1_000_100)))
+    found = set(zip(cand.id_a, cand.id_b))
+    recall = len(planted & found) / len(planted)
+    assert recall >= 0.9, f"LSH recall {recall}"
+
+    kept = minhash_dedup(all_docs, jaccard_threshold=0.5)
+    # every planted dup (higher id) must be dropped when its jaccard >= 0.5
+    ver = ngram_jaccard_pairs(
+        all_docs.withColumn("doc_id", F.when(F.col("doc_id") >= 1_000_000, F.col("doc_id")).otherwise(F.col("doc_id")))
+    )
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert all(i in kept_ids for i in range(0, 100))  # originals kept
+    dropped = [i for i in range(1_000_000, 1_000_100) if i not in kept_ids]
+    assert len(dropped) >= 90  # near-identical copies overwhelmingly dropped
