@@ -201,8 +201,11 @@ def _unique_queries(addr: DataFrame) -> DataFrame:
     )
 
 
-def geocode_candidates(addr: DataFrame, index: GazetteerIndex) -> DataFrame:
-    """Multi-level broadcast equi-join against the gazetteer — SURVEY.md J8.
+def _candidates_unique(q: DataFrame, index: GazetteerIndex) -> DataFrame:
+    """Multi-level broadcast equi-join against the gazetteer — SURVEY.md J8 —
+    at the UNIQUE-query level (one row per distinct composed address).
+    Scoring/checking happens here too, so the expensive work is O(unique
+    addresses), not O(pages); results fan back to page keys afterwards.
 
     Levels (lower wins for ordering; all levels unioned, capped at 50 like
     Nominatim's server-side limit, base.py:97):
@@ -213,7 +216,6 @@ def geocode_candidates(addr: DataFrame, index: GazetteerIndex) -> DataFrame:
       4: (postcode)                 city rows   — only for empty street
       5: (city fingerprint)         city rows   — only for empty street
     """
-    q = _unique_queries(addr)
     lk = index.hinted(index.lookup)
 
     has_street = q.filter(F.col("q_street_key") != "")
@@ -295,15 +297,25 @@ def geocode_candidates(addr: DataFrame, index: GazetteerIndex) -> DataFrame:
         cand.withColumn("osm_order", F.row_number().over(order_w) - 1)
         .filter(F.col("osm_order") < NOMINATIM_CANDIDATE_LIMIT)
     )
+    return cand.select(_CAND_COLS)
 
-    keep_cols = [
-        "transformed_address", "place_id", "parent_place_id", "place_rank", "category",
-        "lat", "lon", "osm_order", "out_street_name", "out_post_name",
-        "out_house_number", "out_post_code", "out_country_name", "out_other", "namedetails",
-    ]
-    # fan results back to every input address key (reference utils.py:394)
+
+# candidate payload + the (transformed) query fields needed by the checker
+_CAND_COLS = [
+    "transformed_address", "street", "housenbr", "postcode", "city", "country",
+    "place_id", "parent_place_id", "place_rank", "category",
+    "lat", "lon", "osm_order", "out_street_name", "out_post_name",
+    "out_house_number", "out_post_code", "out_country_name", "out_other", "namedetails",
+]
+_PAYLOAD_COLS = [c for c in _CAND_COLS if c not in ADDR_COLS[1:]]
+
+
+def geocode_candidates(addr: DataFrame, index: GazetteerIndex) -> DataFrame:
+    """Unique-level candidates fanned back to every input address key
+    (reference utils.py:394)."""
+    cand = _candidates_unique(_unique_queries(addr), index)
     return addr.select(ADDR_COLS + ["transformed_address"]).join(
-        cand.select(keep_cols), on="transformed_address", how="inner"
+        cand.select(_PAYLOAD_COLS), on="transformed_address", how="inner"
     )
 
 
@@ -341,9 +353,12 @@ def _score(cand: DataFrame, street_b: str = "street") -> DataFrame:
     )
 
 
-def _pick_best(scored: DataFrame, max_res: int = 1) -> tuple[DataFrame, DataFrame]:
+def _pick_best(
+    scored: DataFrame, max_res: int = 1, key: str = "addr_key"
+) -> tuple[DataFrame, DataFrame]:
     """Split keep/reject: elimination rule, then best-per-key window
-    (check_result_utils.py:532-554)."""
+    (check_result_utils.py:532-554). ``key`` is addr_key when scoring fanned
+    rows, transformed_address when scoring at the unique-query level."""
     elim = elimination_rule(F.col("sim_post_code"), F.col("sim_city"), F.col("sim_street"))
     # eager materialization: half a dozen downstream actions (parent rescue,
     # retry guards, keep/tail splits) would otherwise re-run the pandas-UDF
@@ -352,7 +367,7 @@ def _pick_best(scored: DataFrame, max_res: int = 1) -> tuple[DataFrame, DataFram
 
     mismatch = scored.filter(F.col("_elim")).withColumn("reject_reason", F.lit("mismatch"))
 
-    w = Window.partitionBy("addr_key").orderBy(
+    w = Window.partitionBy(key).orderBy(
         F.col("sim_street").desc(), F.col("sim_house_number").desc(), F.col("osm_order").asc()
     )
     ranked = scored.filter(~F.col("_elim")).withColumn("_rank", F.row_number().over(w))
@@ -365,14 +380,14 @@ def _pick_best(scored: DataFrame, max_res: int = 1) -> tuple[DataFrame, DataFram
 
 
 def _parent_rescue(
-    keep: DataFrame, reject: DataFrame, index: GazetteerIndex
+    keep: DataFrame, reject: DataFrame, index: GazetteerIndex, key: str = "addr_key"
 ) -> tuple[DataFrame, DataFrame]:
     """Alt-name rescue through the parent place — reference match_parent
     (check_result_utils.py:560-644), as a broadcast self-join instead of
     two REST round-trips per rejected row."""
     final_rejected = (
         reject.filter(F.col("reject_reason") == "mismatch")
-        .join(keep.select("addr_key").distinct(), on="addr_key", how="left_anti")
+        .join(keep.select(key).distinct(), on=key, how="left_anti")
         .drop("reject_reason", *_SIM_COLS)
     )
 
@@ -413,14 +428,14 @@ def _parent_rescue(
         )
         .drop("alt_lang")
     )
-    saved, _ = _pick_best(alt.drop("alt_name"))
+    saved, _ = _pick_best(alt.drop("alt_name"), key=key)
     if saved.isEmpty():
         return keep, reject
 
     keep2 = keep.unionByName(saved, allowMissingColumns=True)
-    # drop rescued (addr_key, place_id) pairs from the reject pile (ref :636)
+    # drop rescued (key, place_id) pairs from the reject pile (ref :636)
     reject2 = reject.join(
-        saved.select("addr_key", "place_id").distinct(), on=["addr_key", "place_id"], how="left_anti"
+        saved.select(key, "place_id").distinct(), on=[key, "place_id"], how="left_anti"
     )
     return keep2, reject2
 
@@ -433,23 +448,39 @@ def _parent_rescue(
 def _process(
     addr: DataFrame, index: GazetteerIndex, check_results: bool, use_parent: bool = True
 ) -> tuple[DataFrame, DataFrame]:
-    """process_osm analog (utils.py:300-441): candidates -> check / first."""
-    cand = geocode_candidates(addr, index)
+    """process_osm analog (utils.py:300-441): candidates -> check / first.
+
+    The entire check (scoring UDFs, elimination, best-per-address window,
+    parent rescue) runs at the UNIQUE-composed-address level — O(distinct
+    addresses), the reference's own dedup optimization (utils.py:353-356)
+    extended through the checker. Only the final keep/reject fan back to
+    page keys. Outcomes are identical because every key of one composed
+    address shares the same candidates, scores, and verdicts.
+    """
+    uq = _unique_queries(addr)
+    cand = _candidates_unique(uq, index)
+    ukey = "transformed_address"
 
     if check_results:
-        keep, reject = _pick_best(_score(cand))
+        keep_u, reject_u = _pick_best(_score(cand), key=ukey)
         if use_parent:
-            keep, reject = _parent_rescue(keep, reject, index)
-        return keep, reject
+            keep_u, reject_u = _parent_rescue(keep_u, reject_u, index, key=ukey)
+    else:
+        first = cand.withColumn(
+            "_rank",
+            F.row_number().over(Window.partitionBy(ukey).orderBy(F.col("osm_order").asc())),
+        )
+        keep_u = first.filter(F.col("_rank") == 1).drop("_rank")
+        reject_u = first.filter(F.col("_rank") > 1).drop("_rank").withColumn(
+            "reject_reason", F.lit("tail")
+        )
 
-    first = cand.withColumn(
-        "_rank",
-        F.row_number().over(Window.partitionBy("addr_key").orderBy(F.col("osm_order").asc())),
-    )
-    keep = first.filter(F.col("_rank") == 1).drop("_rank")
-    reject = first.filter(F.col("_rank") > 1).drop("_rank").withColumn(
-        "reject_reason", F.lit("tail")
-    )
+    # fan back to every input key (reference utils.py:394); drop the query
+    # fields from the unique side — the fan side re-supplies them
+    fan = addr.select(ADDR_COLS + ["transformed_address"])
+    drop_q = [c for c in ADDR_COLS[1:]]
+    keep = fan.join(keep_u.drop(*drop_q), on="transformed_address", how="inner")
+    reject = fan.join(reject_u.drop(*drop_q), on="transformed_address", how="inner")
     return keep, reject
 
 
@@ -762,11 +793,17 @@ def cascade(
     spark = addresses.sparkSession
     seqs = transformers_sequence or DEFAULT_TRANSFORMERS_SEQUENCE
 
+    # materialize the input ONCE: the duplicate guard, every stage, and the
+    # final original-fields restore all reuse it — without this the input
+    # plan (often an extraction-UDF pipeline over raw pages) is re-evaluated
+    # three times
+    addresses = addresses.localCheckpoint(eager=True)
+
     dup = addresses.groupBy("addr_key").count().filter("count > 1")
     if not dup.isEmpty():
         raise ValueError("duplicate addr_key values in input")
 
-    todo = addresses.select(ADDR_COLS).cache()
+    todo = addresses.select(ADDR_COLS)
     results: DataFrame | None = None
     rejects: DataFrame | None = None
 

@@ -55,6 +55,16 @@ def extract_addresses_udf(text: pd.Series) -> pd.Series:
     return text.map(extract_addresses_from_text)
 
 
+@pandas_udf(ArrayType(_ADDR_STRUCT))
+def extract_addresses_from_html_udf(html: pd.Series) -> pd.Series:
+    """Fused html -> text -> addresses in ONE Arrow round trip (the
+    intermediate text never crosses the JVM/Python boundary). Same frozen
+    extractor, so byte-identity semantics are unchanged."""
+    from ..functions.text import extract_text
+
+    return html.map(lambda h: extract_addresses_from_text(extract_text(h)))
+
+
 def pages_to_addresses(
     pages: DataFrame, dedup_crawls: bool = True, reextract: bool = True
 ) -> DataFrame:
@@ -67,12 +77,15 @@ def pages_to_addresses(
     (the byte-identity invariant makes this a no-op vs the text column)."""
     if dedup_crawls:
         pages = latest_snapshot(pages, "url", "warc_ts")
-    text = extract_text_udf(F.col("html")) if reextract else F.col("text")
+    addrs_arr = (
+        extract_addresses_from_html_udf(F.col("html"))  # fused: 1 Arrow trip
+        if reextract
+        else extract_addresses_udf(F.col("text"))
+    )
     exploded = (
-        pages.withColumn("_text", text)
-        .select(
+        pages.select(
             "url", "warc_ts",
-            F.posexplode(extract_addresses_udf(F.col("_text"))).alias("pos", "addr"),
+            F.posexplode(addrs_arr).alias("pos", "addr"),
         )
         .select(
             F.concat_ws("#", F.col("url"), F.col("pos").cast("string")).alias("addr_key"),

@@ -74,6 +74,12 @@ def pages_from_documents(
     explode — used by the bench to measure throughput where data, not
     per-stage overhead, dominates)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the documents file is a single small parquet -> ONE input partition;
+    # spread it across the session's shuffle-partition count BEFORE the
+    # explode and the heavy UDFs, else the fan-out + html build + extraction
+    # all run in a single task no matter how many cores exist.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = docs.repartition(n_part, "doc_id")
     if replicate > 1:
         docs = docs.withColumn(
             "_rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1)))

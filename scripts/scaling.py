@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+# -*- coding: utf-8 -*-
+"""Cluster-size scaling evidence (north_rule, sandbox adaptation).
+
+Runs the flagship workload (documents -> pages -> extract -> geocode ->
+S2 tiling) on the SAME input with the SAME plan (fixed shuffle partitions)
+at two parallelism levels — local[N] vs local[4N] — and reports throughput
+at both plus scaling efficiency. Usage:
+
+    python scripts/scaling.py [cpus] [replicate] [sf_dir]
+
+One JSON line per invocation; BENCH.md aggregates the pair.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+
+    from nominatimwrapper_spark.session import get_spark
+
+    # identical logical+physical plan at both sizes: shuffle partitions
+    # pinned to 32 regardless of core count
+    spark = get_spark(
+        master=f"local[{cpus}]", app_name=f"nwspark-scaling-{cpus}", shuffle_partitions=32
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from nominatimwrapper_spark.plans.flagship import flagship
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_pages = n_docs * replicate
+
+    # warm-up: JVM/codegen/python-worker spin-up excluded from the measurement
+    flagship(spark, sf_dir, replicate=1).write.format("noop").mode("overwrite").save()
+
+    load_before = os.getloadavg()[0]
+    t0 = time.time()
+    flagship(spark, sf_dir, replicate=replicate).write.format("noop").mode("overwrite").save()
+    wall = time.time() - t0
+
+    print(
+        json.dumps(
+            {
+                "workload": "flagship_geocode_tile",
+                "cpus": cpus,
+                "replicate": replicate,
+                "sf_dir": sf_dir,
+                "pages": n_pages,
+                "wall_sec": round(wall, 2),
+                "pages_per_sec": round(n_pages / wall, 1),
+                # the sandbox host is shared — a measurement taken under
+                # external load is invalid; the runner filters on this
+                "loadavg_before": round(load_before, 2),
+                "loadavg_after": round(os.getloadavg()[0], 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+# -*- coding: utf-8 -*-
+"""Physical-plan assertions: the optimizations we rely on at 100 TB must
+actually appear in the plan — predicate pushdown + column pruning at the
+scan, broadcast joins for the gazetteer, whole-stage codegen for Column
+math (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def _formatted(df) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_parquet_pushdown_and_pruning(spark):
+    df = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .filter(F.col("o_totalprice") > 100000.0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    plan = _formatted(df)
+    assert "PushedFilters" in plan and "GreaterThan(o_totalprice" in plan
+    # column pruning: scan schema contains only the two needed columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "o_orderkey" in read_schema and "o_totalprice" in read_schema
+    assert "o_orderpriority" not in read_schema and "o_custkey" not in read_schema
+
+
+def test_gazetteer_join_is_broadcast(spark, tmp_path_factory):
+    from nominatimwrapper_spark.operators.geocode import (
+        build_gazetteer_index,
+        geocode_candidates,
+    )
+    from nominatimwrapper_spark.synth import gen_world, write_world
+
+    d = tmp_path_factory.mktemp("plan_world")
+    write_world(str(d), gen_world(n_streets=30, houses_per_street=4, n_pages=5, n_per_class=1))
+    index = build_gazetteer_index(spark.read.parquet(f"{d}/gazetteer.parquet"))
+    addr = spark.read.parquet(f"{d}/addresses.parquet").selectExpr(
+        "referenceKey as addr_key", "streetName as street", "houseNumber as housenbr",
+        "postCode as postcode", "postName as city", "countryName as country"
+    ).withColumn("transformed_address", F.col("street"))
+    cand = geocode_candidates(addr, index)
+    plan = _formatted(cand)
+    assert "BroadcastHashJoin" in plan
+    # the big (address) side must never be broadcast: no SortMergeJoin needed
+    # for the candidate lookup itself
+    assert plan.count("BroadcastHashJoin") >= 4  # one per candidate level
+
+
+def test_column_math_stays_in_codegen(spark):
+    from nominatimwrapper_spark.plans.driver_queries import q_haversine
+
+    plan = _formatted(q_haversine(spark, SF))
+    assert "codegen id" in plan  # whole-stage codegen spans (Spark 4 marker)
+    # no Python UDF stage in a pure-Column query
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_salted_rollup_two_phase(spark):
+    from nominatimwrapper_spark.operators.spatial import tile_rollup
+
+    pts = spark.read.parquet(f"{SF}/customer.parquet").select(
+        F.col("c_custkey").alias("id"),
+        (F.col("c_custkey") % 50).alias("cell"),
+        F.col("c_acctbal").alias("v"),
+    )
+    plan = _formatted(tile_rollup(pts, "cell", avg_cols=("v",), salt_partitions=8, salt_key="id"))
+    # two-phase: two separate HashAggregate pairs (partial+final per phase)
+    assert plan.count("HashAggregate") >= 4
