@@ -110,3 +110,25 @@ def digit_prefix_col(col: Column) -> Column:
     """Leading digit run of a house number ("30 bt 2" -> "30"); empty when
     none. Reference utils.py:268 str.extract("^([0-9]+)")."""
     return F.regexp_extract(F.coalesce(col, F.lit("")), "^([0-9]+)", 1)
+
+
+def collapse_fillna_col(*cols: Column) -> Column:
+    """A6 — first non-null of an ordered column list (reference
+    collapse(method='fillna'), utils.py:133-166)."""
+    return F.coalesce(*cols)
+
+
+def collapse_set_col(cols: list[Column], minus: list[Column] | None = None) -> Column:
+    """A7 — distinct non-null values joined by " - ", minus already-picked
+    values (the 'other' column; reference utils.py:167-168, 568-574).
+
+    NB the reference builds a Python set() so ITS join order is
+    interpreter-dependent; we keep first-appearance order — deterministic,
+    same value set.
+    """
+    arr = F.array_distinct(
+        F.filter(F.array(*cols), lambda x: x.isNotNull() & (x.cast("string") != ""))
+    )
+    if minus:
+        arr = F.array_except(arr, F.array(*[F.coalesce(m, F.lit("")) for m in minus]))
+    return F.array_join(arr, " - ")

@@ -72,3 +72,67 @@ def grid_cell_scalar(lat: float, lon: float, cells_per_degree: int = 32) -> int:
     iy = math.floor((lat + 90.0) * cells_per_degree)
     ix = math.floor((lon + 180.0) * cells_per_degree)
     return iy * 360 * cells_per_degree + ix
+
+
+# ---------------------------------------------------------------------------
+# hexagonal tiling (planar axial grid + cube rounding)
+# ---------------------------------------------------------------------------
+# An H3-STYLE hexagonal rollup operator. NOT bit-compatible with Uber H3
+# (whose base-cell tables cannot be re-derived from public math alone —
+# SURVEY.md F20 hedge); this is a planar pointy-top axial hex grid, exact
+# and deterministic, suitable for regional extents. S2 (s2.py) carries the
+# global tiling story.
+
+_SQRT3 = math.sqrt(3.0)
+_HEX_OFFSET = 1 << 20
+_HEX_SPAN = 1 << 21
+
+
+def hex_cell_col(lat: Column, lon: Column, size_deg: float = 0.005) -> Column:
+    """int64 hex cell via axial coords + cube rounding — pure Column math
+    (stays in codegen). size_deg ~0.005 ≈ H3 res-9-ish footprint at 50°N."""
+    q = (F.lit(_SQRT3 / 3.0) * lon - F.lit(1.0 / 3.0) * lat) / F.lit(size_deg)
+    r = (F.lit(2.0 / 3.0) * lat) / F.lit(size_deg)
+    rq = F.round(q, 0)
+    rr = F.round(r, 0)
+    rs = F.round(-q - r, 0)
+    dq = F.abs(rq - q)
+    dr = F.abs(rr - r)
+    ds = F.abs(rs + q + r)
+    fq = F.when((dq > dr) & (dq > ds), -rr - rs).otherwise(rq)
+    fr = F.when(~((dq > dr) & (dq > ds)) & (dr > ds), -rq - rs).otherwise(rr)
+    # re-fix q when r was adjusted is unnecessary: cube rounding fixes only
+    # the axis with the largest error; the others stay rounded
+    return (
+        (fq.cast("long") + F.lit(_HEX_OFFSET)) * F.lit(_HEX_SPAN)
+        + (fr.cast("long") + F.lit(_HEX_OFFSET))
+    ).cast("long")
+
+
+def hex_cell_scalar(lat: float, lon: float, size_deg: float = 0.005) -> int:
+    """Scalar twin of :func:`hex_cell_col` (tests, center math)."""
+    q = (_SQRT3 / 3.0 * lon - lat / 3.0) / size_deg
+    r = (2.0 / 3.0 * lat) / size_deg
+    rq, rr, rs = _round_half_even(q), _round_half_even(r), _round_half_even(-q - r)
+    dq, dr, ds = abs(rq - q), abs(rr - r), abs(rs + q + r)
+    if dq > dr and dq > ds:
+        rq = -rr - rs
+    elif dr > ds:
+        rr = -rq - rs
+    return int((rq + _HEX_OFFSET) * _HEX_SPAN + (rr + _HEX_OFFSET))
+
+
+def _round_half_even(x: float) -> float:
+    # match Spark's F.round(col, 0) HALF_UP semantics for positives/negatives
+    import decimal
+
+    return float(decimal.Decimal(x).quantize(decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP))
+
+
+def hex_cell_center(cell: int, size_deg: float = 0.005) -> tuple[float, float]:
+    """Hex cell id -> (lat, lon) of its center."""
+    fq = cell // _HEX_SPAN - _HEX_OFFSET
+    fr = cell % _HEX_SPAN - _HEX_OFFSET
+    lat = 1.5 * fr * size_deg
+    lon = _SQRT3 * (fq + fr / 2.0) * size_deg
+    return lat, lon

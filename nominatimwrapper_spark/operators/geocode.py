@@ -749,7 +749,14 @@ def _one_stage(
         compose_address_col(
             F.col("street"), F.col("housenbr"), F.col("postcode"), F.col("city"), F.col("country")
         ),
-    ).localCheckpoint(eager=True)  # one materialization per stage; bounds plan size
+    )
+    if transformers != ["orig"]:
+        # transformer stages run UDF joins (libpostal/photon) — materialize
+        # once so the multiple consumers (dedup, fan-back, retry) don't
+        # re-run them. The orig stage is a pure Column op over the already
+        # checkpointed todo set: materializing it would rewrite every input
+        # row once more just to add one column.
+        sent = sent.localCheckpoint(eager=True)
 
     keep, reject = _process(sent, index, check_results)
     keep = _retry_low_rank(keep, sent, index, check_results)
@@ -781,7 +788,9 @@ def cascade(
     check_results: bool = True,
     transformers_sequence: list[list[str]] | None = None,
     with_rejected: bool = True,
-) -> tuple[DataFrame, DataFrame]:
+    with_stats: bool = False,
+    validate_unique: bool = True,
+) -> tuple[DataFrame, DataFrame] | tuple[DataFrame, DataFrame, list[dict]]:
     """process_addresses analog (utils.py:1195-1279): run the transformer
     ladder, shrink the working set by left-anti join after each stage, tag
     each match with the stage that produced it (``method`` — the fallback
@@ -799,13 +808,15 @@ def cascade(
     # three times
     addresses = addresses.localCheckpoint(eager=True)
 
-    dup = addresses.groupBy("addr_key").count().filter("count > 1")
-    if not dup.isEmpty():
-        raise ValueError("duplicate addr_key values in input")
+    if validate_unique:  # skippable when keys are unique by construction
+        dup = addresses.groupBy("addr_key").count().filter("count > 1")
+        if not dup.isEmpty():
+            raise ValueError("duplicate addr_key values in input")
 
     todo = addresses.select(ADDR_COLS)
     results: DataFrame | None = None
     rejects: DataFrame | None = None
+    step_stats: list[dict] = []
 
     for transformers in seqs:
         keep, reject = _one_stage(todo, transformers, index, check_results)
@@ -819,6 +830,24 @@ def cascade(
         if with_rejected:
             reject = reject.localCheckpoint(eager=True)
             rejects = reject if rejects is None else rejects.unionByName(reject)
+
+        if with_stats:
+            # per-stage counters — reference step_stats (utils.py:678-686);
+            # every frame here is checkpointed so these are cheap scans
+            stat = {
+                "method": "+".join(transformers),
+                "todo": todo.count(),
+                "match": keep.count(),
+                "match_26": keep.filter(F.col("match_on_cleansed_house_number")).count(),
+            }
+            if with_rejected:
+                stat["reject_rec"] = reject.count()
+                stat["reject_addr"] = reject.select("addr_key").distinct().count()
+                stat["reject_mism"] = (
+                    reject.filter(F.col("reject_reason") == "mismatch")
+                    .select("addr_key").distinct().count()
+                )
+            step_stats.append(stat)
 
         new_todo = todo.join(
             keep.select("addr_key").distinct(), on="addr_key", how="left_anti"
@@ -848,6 +877,8 @@ def cascade(
     else:
         rejects = spark.createDataFrame([], schema=_reject_schema())
 
+    if with_stats:
+        return results, rejects, step_stats
     return results, rejects
 
 

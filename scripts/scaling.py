@@ -44,10 +44,23 @@ def main() -> None:
     # warm-up: JVM/codegen/python-worker spin-up excluded from the measurement
     flagship(spark, sf_dir, replicate=1).write.format("noop").mode("overwrite").save()
 
+    import threading
+
     load_before = os.getloadavg()[0]
+    samples: list[float] = []
+    stop = threading.Event()
+
+    def _sample():
+        while not stop.is_set():
+            samples.append(os.getloadavg()[0])
+            stop.wait(5)
+
+    sampler = threading.Thread(target=_sample, daemon=True)
+    sampler.start()
     t0 = time.time()
     flagship(spark, sf_dir, replicate=replicate).write.format("noop").mode("overwrite").save()
     wall = time.time() - t0
+    stop.set()
 
     print(
         json.dumps(
@@ -60,9 +73,10 @@ def main() -> None:
                 "wall_sec": round(wall, 2),
                 "pages_per_sec": round(n_pages / wall, 1),
                 # the sandbox host is shared — a measurement taken under
-                # external load is invalid; the runner filters on this
+                # external load is invalid; in-run samples include OUR OWN
+                # threads (expect ~cpus when healthy; >> cpus = contaminated)
                 "loadavg_before": round(load_before, 2),
-                "loadavg_after": round(os.getloadavg()[0], 2),
+                "loadavg_during_max": round(max(samples), 2) if samples else None,
             }
         )
     )
