@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "haversine": dq.q_haversine,                    # F14
         "grid_rollup": dq.q_grid_rollup,                # A9
         "grid_parent_rollup": dq.q_grid_parent_rollup,  # A9 zoom-out
+        "hex_rollup": dq.q_hex_rollup,                  # A9 hex tiling
         "knn_topk": dq.q_knn_topk,                      # J10/W4 oracle
         "dedup_exact": dq.q_dedup_exact,                # dedup: exact
         "token_stats": dq.q_token_stats,                # text analysis
@@ -74,6 +75,7 @@ def oracle_sql() -> dict[str, str]:
         "haversine": dq.SQL_HAVERSINE,
         "grid_rollup": dq.SQL_GRID,
         "grid_parent_rollup": dq.SQL_GRID_PARENT,
+        "hex_rollup": dq.SQL_HEX,
         "knn_topk": dq.SQL_KNN,
         "dedup_exact": dq.SQL_DEDUP,
         "token_stats": dq.SQL_TOKENS,

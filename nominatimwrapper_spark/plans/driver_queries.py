@@ -413,3 +413,38 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_bucket,
        event_type, count(*) AS n
 FROM events GROUP BY 1, 2
 """
+
+
+def q_hex_rollup(spark, sf_dir):
+    """A9 on the hexagonal tiling — axial coords + cube rounding as pure
+    Column math, rollup per hex cell."""
+    from ..functions.geo import hex_cell_col
+
+    pts = _cust_points(spark, sf_dir)
+    return (
+        pts.withColumn("cell", hex_cell_col(F.col("lat"), F.col("lon"), 0.05))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# same axial + cube-rounding math spelled in SQL (size 0.05; round() is
+# HALF_UP in both engines for these non-boundary inputs)
+SQL_HEX = f"""
+WITH p AS ({_CUST_POINTS_SQL}),
+a AS (SELECT c_custkey,
+        (sqrt(3)/3 * lon - lat/3) / 0.05 AS q,
+        (2.0/3.0 * lat) / 0.05 AS r
+      FROM p),
+b AS (SELECT *, round(q) AS rq, round(r) AS rr, round(-q - r) AS rs,
+        abs(round(q) - q) AS dq, abs(round(r) - r) AS dr,
+        abs(round(-q - r) + q + r) AS ds
+      FROM a),
+c AS (SELECT
+        CASE WHEN dq > dr AND dq > ds THEN -rr - rs ELSE rq END AS fq,
+        CASE WHEN NOT (dq > dr AND dq > ds) AND dr > ds THEN -rq - rs ELSE rr END AS fr
+      FROM b)
+SELECT (CAST(fq AS BIGINT) + 1048576) * 2097152 + (CAST(fr AS BIGINT) + 1048576) AS cell,
+       count(*) AS n
+FROM c GROUP BY 1
+"""
