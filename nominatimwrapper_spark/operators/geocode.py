@@ -7,8 +7,8 @@ Reference lifecycle being reproduced (values, not architecture):
     process_addresses            utils.py:1195-1279   -> cascade()
     transform_and_process        utils.py:589-688     -> _one_stage()
     apply_transformers           utils.py:692-776     -> apply_transformers()
-    process_osm (REST + parse)   utils.py:300-441     -> geocode_candidates()
-    osm_keep_relevant_results    check_result_utils.py:648-699 -> _check_and_pick()
+    process_osm (REST + parse)   utils.py:300-441     -> _process()/_candidates_unique()
+    osm_keep_relevant_results    check_result_utils.py:648-699 -> _score()/_pick_best()
     match_parent                 check_result_utils.py:560-644 -> _parent_rescue()
     retry_with_low_place_rank    utils.py:225-299     -> _retry_low_rank()
     libpostal_transformer        transformers.py:261-320 -> rule-based parse UDF
@@ -814,6 +814,7 @@ def cascade(
             raise ValueError("duplicate addr_key values in input")
 
     todo = addresses.select(ADDR_COLS)
+    n_todo = addresses.count()  # cheap: checkpointed
     results: DataFrame | None = None
     rejects: DataFrame | None = None
     step_stats: list[dict] = []
@@ -849,13 +850,17 @@ def cascade(
                 )
             step_stats.append(stat)
 
-        new_todo = todo.join(
+        # keep holds exactly one row per matched key, so a plain count
+        # detects the everyone-matched case without the anti-join shuffle
+        n_keep = keep.count()
+        if n_keep >= n_todo:
+            break
+        if n_keep == 0:
+            continue  # nothing matched this stage; same todo set
+        todo = todo.join(
             keep.select("addr_key").distinct(), on="addr_key", how="left_anti"
         ).localCheckpoint(eager=True)
-        if new_todo.isEmpty():
-            todo = new_todo
-            break
-        todo = new_todo
+        n_todo -= n_keep
 
     assert results is not None
     # restore the FULL original input row — including caller columns beyond

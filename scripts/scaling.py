@@ -30,9 +30,12 @@ def main() -> None:
     from nominatimwrapper_spark.session import get_spark
 
     # identical logical+physical plan at both sizes: shuffle partitions
-    # pinned to 32 regardless of core count
+    # pinned (default 128 = 4 waves at 4N, 16 at N — amortizes per-task
+    # overhead at both sizes) regardless of core count
+    n_shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "128"))
     spark = get_spark(
-        master=f"local[{cpus}]", app_name=f"nwspark-scaling-{cpus}", shuffle_partitions=32
+        master=f"local[{cpus}]", app_name=f"nwspark-scaling-{cpus}",
+        shuffle_partitions=n_shuffle,
     )
     spark.sparkContext.setLogLevel("ERROR")
 
