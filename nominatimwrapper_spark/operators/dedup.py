@@ -68,10 +68,6 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-# deterministic odd multipliers for the k hash family (splitmix-style)
-_MINHASH_SEEDS = [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9]
-
-
 def minhash_signature(shingle_col, num_hashes: int = 32):
     """array<long> of minhashes: h_i(s) = min over shingles of
     xxhash64(shingle, seed=i) — entirely Column ops."""
