@@ -38,7 +38,7 @@ def main() -> None:
     qs = dict(em.queries())
     # bench-scale flagship: fan documents into N pages each so throughput is
     # data-bound, not fixed-overhead-bound (100k+ addresses at sf0.1)
-    rep = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_REPLICATE", "20"))
+    rep = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_REPLICATE", "100"))
     from nominatimwrapper_spark.plans.flagship import flagship as _flagship
 
     qs["geocode_flagship"] = lambda sp, d: _flagship(sp, d, replicate=rep)
