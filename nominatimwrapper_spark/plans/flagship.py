@@ -232,7 +232,8 @@ def q_knn_cells_flagship(spark, sf_dir):
     (cell-ring expansion)."""
     from ..operators.spatial import knn_cells
 
-    res = flagship_cached(spark, sf_dir).limit(200)
+    # orderBy before limit: an unordered limit picks nondeterministic rows
+    res = flagship_cached(spark, sf_dir).orderBy("addr_key").limit(200)
     gaz = spark.read.parquet(f"{world_dir()}/gazetteer.parquet")
     targets = gaz.filter(F.col("place_rank") == 30).select("place_id", "lat", "lon")
     qs = res.select(
