@@ -283,7 +283,7 @@ def q_grid_parent_rollup(spark, sf_dir):
 SQL_GRID_PARENT = f"""
 SELECT CAST(floor(CAST(floor(cell/11520.0) AS BIGINT)/8.0) AS BIGINT)*1440
        + CAST(floor((cell % 11520)/8.0) AS BIGINT) AS pcell,
-       sum(n) AS n
+       CAST(sum(n) AS BIGINT) AS n
 FROM ({SQL_GRID.strip()}) GROUP BY 1
 """
 

@@ -43,8 +43,15 @@ def test_oracle_match(spark, duck, name):
     cols = sorted(spark_df.columns)
     a = spark_df[cols].sort_values(cols).reset_index(drop=True)
     b = duck_df[cols].sort_values(cols).reset_index(drop=True)
-    for c in cols:  # integer columns may come back as different int dtypes
-        if str(a[c].dtype).startswith(("int", "uint")) or str(b[c].dtype).startswith(("int", "uint")):
+    for c in cols:
+        # The driver hashes raw fetched values, so a DuckDB HUGEINT/DECIMAL
+        # that pandas fetches as float/object diverges from Spark's int64 even
+        # when every value is numerically equal. Require the same dtype KIND
+        # on both sides (int vs int, string vs string) — no cross-kind
+        # coercion that would mask it — then widen same-kind ints to int64.
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        assert ka == kb, f"{name}.{c}: dtype kind {a[c].dtype} vs {b[c].dtype} (driver hash would diverge)"
+        if ka in "iu":
             a[c] = a[c].astype("int64")
             b[c] = b[c].astype("int64")
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
