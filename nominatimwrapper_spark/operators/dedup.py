@@ -68,15 +68,84 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+_MERSENNE_31 = (1 << 31) - 1
+
+
+def _affine_params(num_hashes: int, seed: int = 0x5EED) -> tuple[list[int], list[int]]:
+    """Deterministic (a_i, b_i) for the universal hash family
+    h_i(x) = (a_i * x + b_i) mod (2^31 - 1), x < 2^31. The modulus must be
+    SMALL enough that a_i * x wraps it many times (a near-2^31 a times a
+    2^31 x is ~2^62, still inside int64) — with a too-large modulus the map
+    is monotonic in x and every "permutation" selects the same min shingle,
+    silently degenerating to 1-hash MinHash."""
+    state = seed % _MERSENNE_31 or 1
+    out_a, out_b = [], []
+    for _ in range(num_hashes):
+        state = (state * 48271) % _MERSENNE_31  # Lehmer LCG, full period
+        out_a.append(state)  # in [1, 2^31-2]
+        state = (state * 48271) % _MERSENNE_31
+        out_b.append(state)
+    return out_a, out_b
+
+
 def minhash_signature(shingle_col, num_hashes: int = 32):
-    """array<long> of minhashes: h_i(s) = min over shingles of
-    xxhash64(shingle, seed=i) — entirely Column ops."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+    """array<long> of minhashes in ONE pass over the shingles.
+
+    Each shingle is hashed ONCE (xxhash64 -> 31 bits); the k hash functions
+    are affine maps (a_i*h + b_i) mod (2^31-1) in pure integer Column math,
+    folded with a single F.aggregate whose accumulator is the running array
+    of k minima. The naive alternative (xxhash64(shingle, seed=i) per
+    permutation) re-hashes every shingle string k times — k full passes
+    over the text bytes."""
+    a_list, b_list = _affine_params(num_hashes)
+    lit_a = F.array(*[F.lit(a) for a in a_list])
+    lit_b = F.array(*[F.lit(b) for b in b_list])
+    hashed = F.transform(
+        shingle_col, lambda s: F.xxhash64(s).bitwiseAND(F.lit(0x7FFFFFFF))
     )
+    init = F.array(*[F.lit(_MERSENNE_31).cast("long") for _ in range(num_hashes)])
+    return F.aggregate(
+        hashed,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.zip_with(lit_a, lit_b, lambda ai, bi: F.pmod(ai * h + bi, F.lit(_MERSENNE_31))),
+            lambda x, y: F.least(x, y),
+        ),
+    )
+
+
+def cap_lsh_buckets(banded: DataFrame, max_bucket_size: int, keys=("band", "bhash")) -> DataFrame:
+    """Drop LSH buckets larger than ``max_bucket_size`` BEFORE the
+    self-join. A degenerate bucket (boilerplate/empty docs sharing a band
+    hash) otherwise produces O(bucket^2) pairs — the 100 TB job-killer.
+    One window count over the same (band, bhash) partitioning the join
+    shuffles on anyway, so no extra shuffle stage at scale."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    return (
+        banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
+
+
+def lsh_dropped_bucket_stats(banded: DataFrame, max_bucket_size: int, keys=("band", "bhash")):
+    """Report what a cap would drop: (n_buckets_dropped, n_rows_dropped).
+    Kept separate from the lazy pipeline so the cap itself never forces an
+    action; call from bench/ops when drop-volume logging is wanted."""
+    big = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") > max_bucket_size)
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.coalesce(F.sum("_bsz"), F.lit(0)).alias("n_rows"),
+        )
+        .first()
+    )
+    return int(big["n_buckets"]), int(big["n_rows"])
 
 
 def minhash_lsh_candidates(
@@ -86,11 +155,15 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    max_bucket_size: int = 500,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
     rows/band = num_hashes/bands; docs sharing any band hash collide.
-    Returns (id_a, id_b, n_bands_shared) with id_a < id_b.
+    Returns (id_a, id_b, n_bands_shared) with id_a < id_b. Buckets larger
+    than ``max_bucket_size`` are dropped before the self-join (use
+    ``lsh_dropped_bucket_stats`` to measure the dropped volume); true
+    giant dup-clusters are the exact-dedup pass's job, not LSH's.
     """
     rows_per_band = num_hashes // bands
     sigs = docs.select(
@@ -117,6 +190,7 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+    banded = cap_lsh_buckets(banded, max_bucket_size)
 
     l = banded.select(F.col("_id").alias("id_a"), "band", "bhash")
     r = banded.select(F.col("_id").alias("id_b"), "band", "bhash")

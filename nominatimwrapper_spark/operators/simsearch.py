@@ -146,9 +146,14 @@ def cosine_near_dup_pairs(
     dim: int | None = None,
     bands: int = 16,
     bits: int = 64,
+    max_bucket_size: int = 500,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cos >= threshold) via
-    the same LSH buckets — the dedup-family member for embeddings."""
+    the same LSH buckets — the dedup-family member for embeddings. Buckets
+    above ``max_bucket_size`` are dropped before the O(bucket^2) self-join
+    (see dedup.cap_lsh_buckets / lsh_dropped_bucket_stats)."""
+    from .dedup import cap_lsh_buckets
+
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])
     sig = lsh_signature_udf(dim, bits)
@@ -156,6 +161,7 @@ def cosine_near_dup_pairs(
         vectors.select(F.col(id_col), F.col(vec_col)).withColumn("_sig", sig(F.col(vec_col))),
         "_sig", bands, bits,
     )
+    b = cap_lsh_buckets(b, max_bucket_size)
     l = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "band", "bhash")
     r = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "band", "bhash")
     pairs = (

@@ -204,8 +204,11 @@ def q_simhash_near_dups(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    """MinHash-LSH candidate pairs over documents."""
+    """MinHash-LSH candidate pairs over documents. The small test parquet
+    is a single file (= 1 input partition), so fan out before the
+    shingle/signature work; a real corpus arrives pre-partitioned."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return minhash_lsh_candidates(d, "doc_id", "text", num_hashes=32, bands=8)
 
 

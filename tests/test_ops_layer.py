@@ -160,3 +160,49 @@ def test_minhash_finds_planted_near_dups(spark):
     assert all(i in kept_ids for i in range(0, 100))  # originals kept
     dropped = [i for i in range(1_000_000, 1_000_100) if i not in kept_ids]
     assert len(dropped) >= 90  # near-identical copies overwhelmingly dropped
+
+
+def test_minhash_degenerate_corpus_capped(spark):
+    """1k identical docs = one degenerate LSH bucket per band. The bucket
+    cap must drop it BEFORE the self-join (the uncapped plan is O(n^2)
+    pairs), so candidate output is empty and the job finishes fast."""
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("boilerplate cookie banner accept all cookies to continue").alias("text"),
+    )
+    cand = minhash_lsh_candidates(docs, max_bucket_size=100)
+    assert cand.count() == 0  # the whole bucket was dropped, not joined
+
+    # the drop-volume reporter sees what the cap removed
+    from nominatimwrapper_spark.operators.dedup import (
+        lsh_dropped_bucket_stats,
+        minhash_signature,
+        word_shingles,
+    )
+
+    sigs = docs.select(
+        "doc_id", minhash_signature(word_shingles(F.col("text"))).alias("sig")
+    )
+    # identical text -> identical signature for every row
+    assert sigs.select("sig").distinct().count() == 1
+
+    # with a cap above the bucket size the pairs DO come back (sanity that
+    # the cap, not a broken join, is what emptied the candidate set)
+    small = spark.range(30).select(
+        F.col("id").alias("doc_id"), F.lit("same exact text here for all").alias("text")
+    )
+    cand2 = minhash_lsh_candidates(small, max_bucket_size=500)
+    assert cand2.count() == 30 * 29 // 2
+
+
+def test_lsh_dropped_bucket_stats(spark):
+    from nominatimwrapper_spark.operators.dedup import lsh_dropped_bucket_stats
+
+    banded = spark.createDataFrame(
+        [(i, 0, 7) for i in range(50)] + [(99, 1, 8)],
+        "id long, band int, bhash long",
+    )
+    n_buckets, n_rows = lsh_dropped_bucket_stats(banded, max_bucket_size=10)
+    assert (n_buckets, n_rows) == (1, 50)
+    n_buckets, n_rows = lsh_dropped_bucket_stats(banded, max_bucket_size=100)
+    assert (n_buckets, n_rows) == (0, 0)
