@@ -101,7 +101,7 @@ class GazetteerIndex:
 
 
 def build_gazetteer_index(
-    gaz: DataFrame, broadcast_threshold: int = 20_000_000
+    gaz: DataFrame, broadcast_max_bytes: int = 800 * 1024 * 1024
 ) -> GazetteerIndex:
     """Build the join index from a gazetteer DataFrame
     (schema per FIXTURES.md §2; alt_names as map or array<struct<key,value>>).
@@ -110,6 +110,11 @@ def build_gazetteer_index(
     alt_names values — the index the real Nominatim builds from its name
     table) becomes a lookup row keyed by letters-only fingerprint, so any
     language/spelling variant of a query street keys into the same places.
+
+    Broadcast is gated on ESTIMATED BYTES (sampled avg row width x row
+    count), not row count — 20M wide rows is several GB and OOMs executors
+    if broadcast. Above ``broadcast_max_bytes`` the candidate joins fall
+    back to shuffle joins on the fingerprint keys.
     """
     alt_t = dict(gaz.dtypes).get("alt_names", "")
     alt_map = F.col("alt_names") if alt_t.startswith("map") else F.map_from_entries("alt_names")
@@ -179,8 +184,25 @@ def build_gazetteer_index(
         .dropDuplicates(["key_street", "place_id"])
     )
 
+    lookup = lookup.cache()
     n = lookup.count()
-    return GazetteerIndex(lookup=lookup.cache(), places=places.cache(), broadcast_ok=n <= broadcast_threshold)
+    est_bytes = n * _avg_row_bytes(lookup)
+    return GazetteerIndex(
+        lookup=lookup, places=places.cache(), broadcast_ok=est_bytes <= broadcast_max_bytes
+    )
+
+
+def _avg_row_bytes(df: DataFrame, sample_rows: int = 2000) -> int:
+    """Average serialized row width from a small sample — JSON length is a
+    (conservative, field-names-repeated) over-estimate of the broadcast
+    relation's per-row cost."""
+    row = (
+        df.limit(sample_rows)
+        .select(F.length(F.to_json(F.struct(*df.columns))).alias("_w"))
+        .agg(F.avg("_w").alias("w"))
+        .first()
+    )
+    return int(row["w"] or 0) + 16  # + per-row object overhead
 
 
 # ---------------------------------------------------------------------------
@@ -476,8 +498,11 @@ def _process(
         )
 
     # fan back to every input key (reference utils.py:394); drop the query
-    # fields from the unique side — the fan side re-supplies them
-    fan = addr.select(ADDR_COLS + ["transformed_address"])
+    # fields from the unique side — the fan side re-supplies them. The fan
+    # side also carries the _orig payload struct (caller columns + original
+    # address fields) so the cascade never needs a full-input restore join.
+    carry = ["_orig"] if "_orig" in addr.columns else []
+    fan = addr.select(ADDR_COLS + ["transformed_address"] + carry)
     drop_q = [c for c in ADDR_COLS[1:]]
     keep = fan.join(keep_u.drop(*drop_q), on="transformed_address", how="inner")
     reject = fan.join(reject_u.drop(*drop_q), on="transformed_address", how="inner")
@@ -685,8 +710,9 @@ def apply_transformers(
     """Sequentially apply a transformer list, then keep only rows actually
     CHANGED by the sequence (case-insensitive 5-field compare vs the
     originals) — reference apply_transformers utils.py:692-776."""
+    carry = ["_orig"] if "_orig" in addr.columns else []
     if transformers == ["orig"]:
-        return addr.select(ADDR_COLS)
+        return addr.select(ADDR_COLS + carry)
 
     out = addr.select(ADDR_COLS)
     for t in transformers:
@@ -712,7 +738,7 @@ def apply_transformers(
             raise ValueError(f"unknown transformer {t!r}")
 
     orig = addr.select(
-        "addr_key", *[F.col(c).alias(f"_o_{c}") for c in ADDR_COLS[1:]]
+        "addr_key", *[F.col(c).alias(f"_o_{c}") for c in ADDR_COLS[1:]], *carry
     )
     joined = out.join(orig, on="addr_key", how="inner")
     changed = F.lit(False)
@@ -721,7 +747,7 @@ def apply_transformers(
             F.lower(F.coalesce(F.col(c).cast("string"), F.lit("")))
             != F.lower(F.coalesce(F.col(f"_o_{c}").cast("string"), F.lit("")))
         )
-    return joined.filter(changed).select(ADDR_COLS)
+    return joined.filter(changed).select(ADDR_COLS + carry)
 
 
 # ---------------------------------------------------------------------------
@@ -763,9 +789,10 @@ def _one_stage(
 
     keep = keep.withColumn("method", F.lit(method))
     reject = reject.withColumn("method", F.lit(method))
-    return _conform(keep, RESULT_COLS + ["street", "housenbr", "postcode", "city", "country"]), _conform(
-        reject, RESULT_COLS + REJECT_EXTRA
-    )
+    keep_cols = RESULT_COLS + ["street", "housenbr", "postcode", "city", "country"]
+    if "_orig" in keep.columns:
+        keep_cols = keep_cols + ["_orig"]
+    return _conform(keep, keep_cols), _conform(reject, RESULT_COLS + REJECT_EXTRA)
 
 
 def _conform(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -813,7 +840,16 @@ def cascade(
         if not dup.isEmpty():
             raise ValueError("duplicate addr_key values in input")
 
-    todo = addresses.select(ADDR_COLS)
+    # Pack the full original row (original address fields + caller columns
+    # like url/warc_ts) into one struct carried through every stage's
+    # fan-back join. Expanding it at the end replaces the reference's final
+    # merge(to_process_addresses, how="left") (utils.py:1271) — which as a
+    # full-input-vs-results shuffle join would be the largest shuffle of the
+    # whole job at 100 TB — with a zero-shuffle projection.
+    orig_payload = [c for c in addresses.columns if c != "addr_key"]
+    todo = addresses.select(
+        *ADDR_COLS, F.struct(*[F.col(c) for c in orig_payload]).alias("_orig")
+    )
     n_todo = addresses.count()  # cheap: checkpointed
     results: DataFrame | None = None
     rejects: DataFrame | None = None
@@ -864,10 +900,13 @@ def cascade(
 
     assert results is not None
     # restore the FULL original input row — including caller columns beyond
-    # ADDR_COLS (url, warc_ts, ...) — like the reference's
-    # merge(to_process_addresses, how="left") at utils.py:1271
-    results = results.drop("street", "housenbr", "postcode", "city", "country").join(
-        addresses, on="addr_key", how="left"
+    # ADDR_COLS (url, warc_ts, ...) — from the carried _orig struct: the
+    # reference's merge(to_process_addresses, how="left") at utils.py:1271
+    # without the join (see the _orig note above)
+    results = (
+        results.drop("street", "housenbr", "postcode", "city", "country")
+        .select("*", "_orig.*")
+        .drop("_orig")
     )
 
     if with_rejected and rejects is not None:

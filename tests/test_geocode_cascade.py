@@ -105,6 +105,39 @@ def test_rejects_have_reason_and_distance(cascade_out):
         assert (with_match.distance_to_match >= 0).all()
 
 
+def test_non_broadcast_path_same_results(spark, world, index, cascade_out):
+    """When the gazetteer index is too big to broadcast (broadcast_ok=False,
+    byte-estimated), the candidate joins fall back to shuffle joins — the
+    RESULTS must be identical to the broadcast path."""
+    import dataclasses
+
+    res_b, _, _ = cascade_out
+    shuffled_index = dataclasses.replace(index, broadcast_ok=False)
+    a = world["addresses"]
+    addr = spark.createDataFrame(
+        a.rename(
+            columns=dict(
+                referenceKey="addr_key", streetName="street", houseNumber="housenbr",
+                postCode="postcode", postName="city", countryName="country",
+            )
+        )[["addr_key", "street", "housenbr", "postcode", "city", "country"]]
+    )
+    res_s, _ = cascade(addr, shuffled_index, check_results=True)
+    res_s = res_s.toPandas()
+    key_cols = ["addr_key", "method", "place_id", "place_rank"]
+    b = res_b[key_cols].sort_values("addr_key").reset_index(drop=True)
+    s = res_s[key_cols].sort_values("addr_key").reset_index(drop=True)
+    pd.testing.assert_frame_equal(b, s)
+
+
+def test_broadcast_gate_is_byte_based(spark, world):
+    gaz = spark.read.parquet(f"{world['_dir']}/gazetteer.parquet")
+    small = build_gazetteer_index(gaz)  # a synth world is far under the cap
+    assert small.broadcast_ok
+    tiny_cap = build_gazetteer_index(gaz, broadcast_max_bytes=1024)
+    assert not tiny_cap.broadcast_ok
+
+
 def test_duplicate_key_guard(spark, index):
     import pandas as pd
 

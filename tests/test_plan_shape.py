@@ -71,6 +71,30 @@ def test_column_math_stays_in_codegen(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def test_cascade_result_has_no_restore_join(spark, tmp_path_factory):
+    """The original input row (caller columns included) is carried through
+    the fan-back as a struct, so the cascade's final result must NOT contain
+    a full-input restore join (at 100 TB that join — every input row
+    reshuffled against every result row on addr_key — would be the job's
+    largest shuffle)."""
+    from nominatimwrapper_spark.operators.geocode import build_gazetteer_index, cascade
+    from nominatimwrapper_spark.synth import gen_world, write_world
+
+    d = tmp_path_factory.mktemp("norestore_world")
+    write_world(str(d), gen_world(n_streets=30, houses_per_street=4, n_pages=5, n_per_class=1))
+    index = build_gazetteer_index(spark.read.parquet(f"{d}/gazetteer.parquet"))
+    addr = spark.read.parquet(f"{d}/addresses.parquet").selectExpr(
+        "referenceKey as addr_key", "streetName as street", "houseNumber as housenbr",
+        "postCode as postcode", "postName as city", "countryName as country"
+    ).withColumn("caller_col", F.concat(F.lit("payload-"), F.col("addr_key")))
+    res, _ = cascade(addr, index, with_rejected=False)
+    plan = _formatted(res)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # caller columns survive the cascade without the join
+    out = res.select("addr_key", "caller_col").toPandas()
+    assert (out["caller_col"] == "payload-" + out["addr_key"]).all()
+
+
 def test_salted_rollup_two_phase(spark):
     from nominatimwrapper_spark.operators.spatial import tile_rollup
 
