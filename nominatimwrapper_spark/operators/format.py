@@ -43,6 +43,8 @@ CAMEL = {
     "sim_post_code": "simPostCode",
     "sim_city": "simCity",
     "osm_order": "osmOrder",
+    "in_house_number": "inHouseNumber",
+    "libpostal_house_number": "libpostalHouseNumber",
 }
 
 MODES = ("coordinates", "short", "long")
@@ -74,6 +76,9 @@ def format_results(results: DataFrame, mode: str = "short") -> DataFrame:
         out_cols = [
             "out_street_name", "out_house_number", "out_post_code", "out_post_name",
             "out_country_name", "other", "out_other", "lat", "lon",
+            # extraHouseNumber fields (reference: mode short,full —
+            # nominatimwrapper.py:408)
+            "in_house_number", "libpostal_house_number",
         ]
         meta_cols = ["method", "place_id", "place_rank", "transformed_address",
                      "match_on_cleansed_house_number", "osm_order"]
@@ -82,6 +87,7 @@ def format_results(results: DataFrame, mode: str = "short") -> DataFrame:
         out_cols = [
             "out_street_name", "out_house_number", "out_post_code", "out_post_name",
             "out_country_name", "out_other", "lat", "lon", "namedetails",
+            "in_house_number", "libpostal_house_number",
         ]
         meta_cols = ["method", "place_id", "place_rank", "transformed_address",
                      "match_on_cleansed_house_number", "osm_order", "reject_reason",

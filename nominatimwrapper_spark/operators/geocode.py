@@ -34,7 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 from ..functions.cleansing import (
     apply_regex_ruleset,
@@ -560,7 +560,10 @@ _LPOST_SCHEMA = StructType(
 _COUNTRY_WORDS = {"belgique", "belgie", "belgië", "belgium", "be"}
 _PC_SEG = re.compile(r"(?:^|\s)([A-Z]?-?\d{4})(?:\s|$)")
 _HOUSE_SEG = re.compile(r"^\d{1,5}[a-zA-Z]?$|^\d{1,5}\s*(?:bt|bte|bus|box|b)\.?\s*\w{1,4}$", re.IGNORECASE)
-_TRAILING_HOUSE = re.compile(r"^(.*[^\s\d])\s+(\d{1,5}[a-zA-Z]?)$")
+_TRAILING_HOUSE = re.compile(
+    r"^(.*?[^\s\d])\s+(\d{1,5}[a-zA-Z]?(?:\s*(?:bt|bte|bus|box)\.?\s*\w{1,4})?)$",
+    re.IGNORECASE,
+)
 
 
 def parse_address_rule_based(full: str | None) -> dict[str, str | None]:
@@ -608,6 +611,83 @@ def parse_address_rule_based(full: str | None) -> dict[str, str | None]:
 @pandas_udf(_LPOST_SCHEMA)
 def _lpost_parse_udf(full: pd.Series) -> pd.DataFrame:
     return pd.DataFrame([parse_address_rule_based(v) for v in full.tolist()])
+
+
+# ---------------------------------------------------------------------------
+# extraHouseNumber enrichment (reference utils.py:782-843, API default true
+# nominatimwrapper.py:497, applied post-restore at utils.py:1273-1274)
+# ---------------------------------------------------------------------------
+
+_HOUSE_UNIT = re.compile(r"^(\d{1,5}[a-zA-Z]?)\s*(?:bt|bte|bus|box|b)\.?\s*(\w{1,4})$", re.IGNORECASE)
+
+
+def split_house_unit(housenbr: str | None) -> tuple[str, str]:
+    """Split a house field into (house_number, unit): '12 bte 4' ->
+    ('12', '4'); plain '12b' -> ('12b', '')."""
+    if not housenbr:
+        return "", ""
+    m = _HOUSE_UNIT.match(housenbr.strip())
+    if m:
+        return m.group(1), m.group(2)
+    return housenbr.strip(), ""
+
+
+def lpost_address_tokens(full: str | None) -> list[tuple[str, str]]:
+    """libpostal-style (value, label) token list from the rule-based parser,
+    with the house field split into house_number vs unit labels the way
+    libpostal labels box numbers."""
+    parsed = parse_address_rule_based(full)
+    toks: list[tuple[str, str]] = []
+    for label in ("road", "house_number", "postcode", "city", "country"):
+        v = parsed[label]
+        if not v:
+            continue
+        if label == "house_number":
+            h, u = split_house_unit(v)
+            if h:
+                toks.append((h, "house_number"))
+            if u:
+                toks.append((u, "unit"))
+        else:
+            toks.append((v, label))
+    return toks
+
+
+def join_lpost_tokens(tokens: list[tuple[str, str]]) -> list[str]:
+    """The reference's get_lpost_house_number join contract
+    (utils.py:800-801): every house_number token joined with ';', every
+    unit token joined with ';' -> [housenbr, boxnbr]."""
+    return [
+        ";".join(v for v, lbl in tokens if lbl == "house_number"),
+        ";".join(v for v, lbl in tokens if lbl == "unit"),
+    ]
+
+
+def lpost_house_number(full: str | None) -> list[str]:
+    return join_lpost_tokens(lpost_address_tokens(full))
+
+
+@pandas_udf(ArrayType(StringType()))
+def _lpost_house_number_udf(full: pd.Series) -> pd.Series:
+    return full.map(lpost_house_number)
+
+
+def add_extra_house_number(results: DataFrame) -> DataFrame:
+    """Attach in_house_number (the INPUT house number) and
+    libpostal_house_number ([house, box] parsed from
+    'street housenbr, postcode city' — the same composed string the
+    reference sends to libpostal, utils.py:838)."""
+    full = F.trim(
+        F.concat(
+            F.coalesce(F.col("street"), F.lit("")), F.lit(" "),
+            F.coalesce(F.col("housenbr"), F.lit("")), F.lit(", "),
+            F.coalesce(F.col("postcode"), F.lit("")), F.lit(" "),
+            F.coalesce(F.col("city"), F.lit("")),
+        )
+    )
+    return results.withColumn(
+        "in_house_number", F.coalesce(F.col("housenbr"), F.lit(""))
+    ).withColumn("libpostal_house_number", _lpost_house_number_udf(full))
 
 
 def libpostal_transformer(addr: DataFrame, check_results: bool) -> DataFrame:
@@ -817,6 +897,7 @@ def cascade(
     with_rejected: bool = True,
     with_stats: bool = False,
     validate_unique: bool = True,
+    with_extra_house_number: bool = True,
 ) -> tuple[DataFrame, DataFrame] | tuple[DataFrame, DataFrame, list[dict]]:
     """process_addresses analog (utils.py:1195-1279): run the transformer
     ladder, shrink the working set by left-anti join after each stage, tag
@@ -908,6 +989,11 @@ def cascade(
         .select("*", "_orig.*")
         .drop("_orig")
     )
+
+    if with_extra_house_number:
+        # reference: applied AFTER the original-fields restore
+        # (utils.py:1273-1274), so it parses the ORIGINAL input fields
+        results = add_extra_house_number(results)
 
     if with_rejected and rejects is not None:
         # distance from each reject to its key's accepted match (utils.py:1080-1093)

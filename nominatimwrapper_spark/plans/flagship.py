@@ -139,9 +139,11 @@ def flagship(
     pages = pages_from_documents(spark, sf_dir, replicate=replicate)
     addrs = pages_to_addresses(pages)
     index = gazetteer_index(spark)
-    # addr_key = url#pos is unique by construction -> skip the guard shuffle
+    # addr_key = url#pos is unique by construction -> skip the guard shuffle;
+    # extraHouseNumber off: the flagship schema doesn't surface those fields
     res, _ = cascade(
-        addrs, index, check_results=check_results, with_rejected=False, validate_unique=False
+        addrs, index, check_results=check_results, with_rejected=False,
+        validate_unique=False, with_extra_house_number=False,
     )
     return res.withColumn(
         "cell13", s2.s2_cell_udf(13)(F.col("lat"), F.col("lon"))

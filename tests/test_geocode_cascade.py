@@ -105,6 +105,57 @@ def test_rejects_have_reason_and_distance(cascade_out):
         assert (with_match.distance_to_match >= 0).all()
 
 
+def test_extra_house_number_columns(cascade_out):
+    """extraHouseNumber enrichment (reference utils.py:811-843, default-on
+    API flag): in_house_number echoes the INPUT house number;
+    libpostal_house_number is [house, box] parsed from the composed input."""
+    res, _rej, a = cascade_out
+    assert "in_house_number" in res.columns and "libpostal_house_number" in res.columns
+    r = res.set_index("addr_key")
+    a_idx = a.set_index("referenceKey")
+    for k in r.index:
+        assert r.loc[k, "in_house_number"] == (a_idx.loc[k, "houseNumber"] or "")
+    # retry26 fixtures have 'N bt 2' house numbers -> split house/box
+    for _, row in a[a.addr_class == "retry26"].iterrows():
+        got = list(r.loc[row.referenceKey, "libpostal_house_number"])
+        base = row.houseNumber.split(" bt ")[0]
+        assert got == [base, "2"], (row.houseNumber, got)
+    # plain numeric houses -> [n, ""]
+    for _, row in a[a.addr_class == "orig_exact"].iterrows():
+        got = list(r.loc[row.referenceKey, "libpostal_house_number"])
+        assert got == [str(row.houseNumber), ""], (row.houseNumber, got)
+
+
+def test_extra_house_number_differential(refmod, monkeypatch):
+    """The join/extract contract of get_lpost_house_number
+    (reference utils.py:782-808) — multiple house_number tokens joined with
+    ';', unit tokens with ';' — checked by feeding the reference function
+    our token stream."""
+    from nominatimwrapper_spark.operators.geocode import (
+        join_lpost_tokens,
+        lpost_address_tokens,
+        lpost_house_number,
+    )
+
+    cases = [
+        "Rue Haute 12, 1000 Bruxelles",
+        "Avenue Louise 20 bte 4, 1050 Ixelles",
+        "Chaussee de Gand 3b, 1080 Molenbeek",
+        ", 1000 Bruxelles",
+        "",
+    ]
+    for addr in cases:
+        toks = lpost_address_tokens(addr)
+        monkeypatch.setattr(refmod.utils, "parse_address", lambda a, t=toks: [(v, l) for v, l in t])
+        ref = refmod.utils.get_lpost_house_number(addr)
+        assert ref == lpost_house_number(addr), addr
+
+    # synthetic multi-token streams: the ';' join semantics themselves
+    multi = [("20", "house_number"), ("box 2", "unit"), ("22", "house_number"), ("3", "unit")]
+    monkeypatch.setattr(refmod.utils, "parse_address", lambda a: [(v, l) for v, l in multi])
+    assert refmod.utils.get_lpost_house_number("x") == join_lpost_tokens(multi) == ["20;22", "box 2;3"]
+
+
 def test_non_broadcast_path_same_results(spark, world, index, cascade_out):
     """When the gazetteer index is too big to broadcast (broadcast_ok=False,
     byte-estimated), the candidate joins fall back to shuffle joins — the
