@@ -5,8 +5,10 @@
 tiling). ``queries()`` exposes one entry per implemented operator family
 from SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for
 every SQL-expressible one (hash-safe: integer/string output columns only).
-Non-SQL operators (S2 cells, MinHash/SimHash, lang-ID, the cascade, PIP,
-ring-kNN) are registered without an oracle -> rows-only checks.
+Only genuinely non-SQL operators (S2 cells, MinHash/SimHash, lang-ID, the
+geocode cascade) are registered without an oracle -> rows-only checks; PIP,
+ring-kNN, hex parents and n-gram Jaccard run through the real operators
+with DuckDB oracles.
 """
 
 from __future__ import annotations
@@ -44,7 +46,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_rollup": dq.q_grid_rollup,                # A9
         "grid_parent_rollup": dq.q_grid_parent_rollup,  # A9 zoom-out
         "hex_rollup": dq.q_hex_rollup,                  # A9 hex tiling
+        "hex_parent_rollup": dq.q_hex_parent_rollup,    # F21 hex zoom-out
         "knn_topk": dq.q_knn_topk,                      # J10/W4 oracle
+        "knn_cells_grid": dq.q_knn_cells_grid,          # J10 scale path (oracled)
+        "pip_rect": dq.q_pip_rect,                      # J9 (oracled)
         "dedup_exact": dq.q_dedup_exact,                # dedup: exact
         "token_stats": dq.q_token_stats,                # text analysis
         "cosine_topk": dq.q_cosine_topk,                # similarity search
@@ -55,9 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quality": fs.q_lang_quality,              # lang-ID + quality
         "simhash_near_dups": fs.q_simhash_near_dups,    # dedup: SimHash
         "minhash_lsh": fs.q_minhash_lsh,                # dedup: MinHash LSH
-        "ngram_jaccard": fs.q_ngram_jaccard,            # dedup: n-gram
-        "pip_flagship": fs.q_pip_flagship,              # J9
-        "knn_cells_flagship": fs.q_knn_cells_flagship,  # J10 scale path
+        "ngram_jaccard": fs.q_ngram_jaccard,            # dedup: n-gram (oracled)
     }
 
 
@@ -76,9 +79,13 @@ def oracle_sql() -> dict[str, str]:
         "grid_rollup": dq.SQL_GRID,
         "grid_parent_rollup": dq.SQL_GRID_PARENT,
         "hex_rollup": dq.SQL_HEX,
+        "hex_parent_rollup": dq.SQL_HEX_PARENT,
         "knn_topk": dq.SQL_KNN,
+        "knn_cells_grid": dq.SQL_KNN_CELLS,
+        "pip_rect": dq.SQL_PIP_RECT,
         "dedup_exact": dq.SQL_DEDUP,
         "token_stats": dq.SQL_TOKENS,
         "cosine_topk": dq.SQL_COSINE,
         "window_time_bucket": dq.SQL_WINDOW_BUCKET,
+        "ngram_jaccard": dq.SQL_NGRAM_JACCARD,
     }

@@ -88,11 +88,8 @@ _HEX_OFFSET = 1 << 20
 _HEX_SPAN = 1 << 21
 
 
-def hex_cell_col(lat: Column, lon: Column, size_deg: float = 0.005) -> Column:
-    """int64 hex cell via axial coords + cube rounding — pure Column math
-    (stays in codegen). size_deg ~0.005 ≈ H3 res-9-ish footprint at 50°N."""
-    q = (F.lit(_SQRT3 / 3.0) * lon - F.lit(1.0 / 3.0) * lat) / F.lit(size_deg)
-    r = (F.lit(2.0 / 3.0) * lat) / F.lit(size_deg)
+def _hex_cube_round_pack(q: Column, r: Column) -> Column:
+    """Cube-round fractional axial coords and pack into an int64 cell id."""
     rq = F.round(q, 0)
     rr = F.round(r, 0)
     rs = F.round(-q - r, 0)
@@ -109,11 +106,32 @@ def hex_cell_col(lat: Column, lon: Column, size_deg: float = 0.005) -> Column:
     ).cast("long")
 
 
+def hex_cell_col(lat: Column, lon: Column, size_deg: float = 0.005) -> Column:
+    """int64 hex cell via axial coords + cube rounding — pure Column math
+    (stays in codegen). size_deg ~0.005 ≈ H3 res-9-ish footprint at 50°N."""
+    q = (F.lit(_SQRT3 / 3.0) * lon - F.lit(1.0 / 3.0) * lat) / F.lit(size_deg)
+    r = (F.lit(2.0 / 3.0) * lat) / F.lit(size_deg)
+    return _hex_cube_round_pack(q, r)
+
+
+def hex_cell_parent_col(cell: Column, factor: int = 4) -> Column:
+    """Hex zoom-out (the F21 parent op for the hex tiling): the parent is
+    the ``factor``-times-larger hex containing the CHILD CENTER. Closed
+    form: a child center's fractional axial coords on the parent grid are
+    exactly (fq/factor, fr/factor), so parent = cube_round(fq/f, fr/f) —
+    pure Column math, ANSI-SQL-expressible (oracled as hex_parent_rollup).
+    Like H3's aperture-7 parents, coverage is center-containment (hexes
+    don't nest exactly); the rollup semantics are identical."""
+    fq = F.floor(cell / F.lit(_HEX_SPAN)).cast("long") - F.lit(_HEX_OFFSET)
+    fr = cell % F.lit(_HEX_SPAN) - F.lit(_HEX_OFFSET)
+    return _hex_cube_round_pack(fq / F.lit(float(factor)), fr / F.lit(float(factor)))
+
+
 def hex_cell_scalar(lat: float, lon: float, size_deg: float = 0.005) -> int:
     """Scalar twin of :func:`hex_cell_col` (tests, center math)."""
     q = (_SQRT3 / 3.0 * lon - lat / 3.0) / size_deg
     r = (2.0 / 3.0 * lat) / size_deg
-    rq, rr, rs = _round_half_even(q), _round_half_even(r), _round_half_even(-q - r)
+    rq, rr, rs = _round_half_up(q), _round_half_up(r), _round_half_up(-q - r)
     dq, dr, ds = abs(rq - q), abs(rr - r), abs(rs + q + r)
     if dq > dr and dq > ds:
         rq = -rr - rs
@@ -122,8 +140,22 @@ def hex_cell_scalar(lat: float, lon: float, size_deg: float = 0.005) -> int:
     return int((rq + _HEX_OFFSET) * _HEX_SPAN + (rr + _HEX_OFFSET))
 
 
-def _round_half_even(x: float) -> float:
-    # match Spark's F.round(col, 0) HALF_UP semantics for positives/negatives
+def hex_cell_parent_scalar(cell: int, factor: int = 4) -> int:
+    """Scalar twin of :func:`hex_cell_parent_col`."""
+    fq = cell // _HEX_SPAN - _HEX_OFFSET
+    fr = cell % _HEX_SPAN - _HEX_OFFSET
+    q, r = fq / factor, fr / factor
+    rq, rr, rs = _round_half_up(q), _round_half_up(r), _round_half_up(-q - r)
+    dq, dr, ds = abs(rq - q), abs(rr - r), abs(rs + q + r)
+    if dq > dr and dq > ds:
+        rq = -rr - rs
+    elif dr > ds:
+        rr = -rq - rs
+    return int((rq + _HEX_OFFSET) * _HEX_SPAN + (rr + _HEX_OFFSET))
+
+
+def _round_half_up(x: float) -> float:
+    # match Spark's F.round(col, 0) HALF_UP (away-from-zero) semantics
     import decimal
 
     return float(decimal.Decimal(x).quantize(decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP))

@@ -104,5 +104,6 @@ def verify_text_bytes(pages: DataFrame) -> DataFrame:
     """Rows violating the byte-identity invariant (must be empty):
     re-extracted text != stored golden text, compared per url."""
     return pages.withColumn("_re", extract_text_udf(F.col("html"))).filter(
-        F.col("_re") != F.col("text")
+        # null-safe: a null re-extraction must flag, not silently pass
+        ~F.col("_re").eqNullSafe(F.col("text"))
     )

@@ -176,12 +176,14 @@ def knn_cells(
 ) -> DataFrame:
     """Scale-path kNN: grid-cell ring expansion (SURVEY.md J10/W4).
 
-    Ring r candidates = targets in the (2r+1)^2 cell block around the query
-    cell. A query's result is final once its k-th neighbor distance is <=
-    the minimum distance any target OUTSIDE the searched block could have
-    (r cells of guaranteed reach); unfinished queries continue to the next
-    ring. Driver loop depth <= max_rings, each iteration a broadcast join —
-    the big side never shuffles.
+    INCREMENTAL shells: ring r joins only the cells at Chebyshev distance
+    exactly r (the 8r-cell shell, not the whole (2r+1)^2 block), and the
+    scored candidates accumulate across rings — every (query, target) pair
+    is scored exactly once. A query's result is final once its k-th
+    neighbor distance is <= the minimum distance any target OUTSIDE the
+    searched block could have (r cells of guaranteed reach); unfinished
+    queries continue to the next ring. Driver loop depth <= max_rings,
+    each iteration a broadcast join — the big side never shuffles.
     """
     w_cells = 360 * cells_per_degree
     t = targets.select(
@@ -198,22 +200,34 @@ def knn_cells(
     cell_h_km = 111.19492664455873 / cells_per_degree
 
     remaining = q
+    acc: DataFrame | None = None  # scored candidates of still-unfinished queries
     done_parts: list[DataFrame] = []
     for r in range(max_rings + 1):
-        offs = [(dy, dx) for dy in range(-r, r + 1) for dx in range(-r, r + 1)]
+        offs = [
+            (dy, dx)
+            for dy in range(-r, r + 1)
+            for dx in range(-r, r + 1)
+            if max(abs(dy), abs(dx)) == r  # shell only
+        ]
         offs_arr = F.array(*[F.lit(dy * w_cells + dx) for dy, dx in offs])
-        cand = (
+        shell = (
             remaining.withColumn("_off", F.explode(offs_arr))
             .withColumn("_cell", F.col("_off") + F.col("_qcell"))
             .drop("_off")
             .join(F.broadcast(t), F.col("_cell") == t._tcell, "inner")
+            .withColumn(
+                "dist_km",
+                F.round(haversine_col(F.col("lat"), F.col("lon"), F.col("_tlat"), F.col("_tlon")), 9),
+            )
+            .drop("_cell", "_tcell", "_tlat", "_tlon")
         )
-        scored = cand.withColumn(
-            "dist_km",
-            F.round(haversine_col(F.col("lat"), F.col("lon"), F.col("_tlat"), F.col("_tlon")), 9),
-        )
+        acc = shell if acc is None else acc.unionByName(shell)
+        # materialize: the shell join + every prior ring would otherwise be
+        # re-evaluated by the window, the finish filter AND the next ring
+        acc = acc.localCheckpoint(eager=True)
+
         wnd = Window.partitionBy(query_id).orderBy(F.col("dist_km").asc(), F.col("_tid").asc())
-        topk = scored.withColumn("knn_rank", F.row_number().over(wnd)).filter(
+        topk = acc.withColumn("knn_rank", F.row_number().over(wnd)).filter(
             F.col("knn_rank") <= k
         )
         # guaranteed reach of the searched block: r full cells beyond the
@@ -232,15 +246,15 @@ def knn_cells(
             finished_keys = kth.select(query_id)
         finished = topk.join(finished_keys, on=query_id, how="inner")
         done_parts.append(
-            finished.drop("_qcell", "_cell", "_tcell", "_tlat", "_tlon").withColumnRenamed(
-                "_tid", "neighbor_id"
-            ).localCheckpoint(eager=True)
+            finished.drop("_qcell").withColumnRenamed("_tid", "neighbor_id")
+            .localCheckpoint(eager=True)
         )
         remaining = remaining.join(finished_keys, on=query_id, how="left_anti").localCheckpoint(
             eager=True
         )
         if remaining.isEmpty():
             break
+        acc = acc.join(finished_keys, on=query_id, how="left_anti")
 
     out = done_parts[0]
     for p in done_parts[1:]:

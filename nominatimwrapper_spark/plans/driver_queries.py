@@ -428,6 +428,118 @@ def q_hex_rollup(spark, sf_dir):
     )
 
 
+def q_hex_parent_rollup(spark, sf_dir):
+    """F21 on the hex tiling — zoom-out by center-containment parents,
+    closed-form integer/axial math (geo.hex_cell_parent_col)."""
+    from ..functions.geo import hex_cell_parent_col
+
+    base = q_hex_rollup(spark, sf_dir)
+    return (
+        base.withColumn("pcell", hex_cell_parent_col(F.col("cell"), 4))
+        .groupBy("pcell")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+def q_knn_cells_grid(spark, sf_dir):
+    """J10 scale path with a brute-force SQL oracle: 3 nearest supplier
+    points per sampled customer point via incremental cell-ring expansion
+    — must equal the cross-join + window plan (SQL_KNN_CELLS)."""
+    from ..operators.spatial import knn_cells
+
+    q = (
+        _cust_points(spark, sf_dir)
+        .filter(F.col("c_custkey") % 149 == 0)
+        .withColumnRenamed("c_custkey", "query_id")
+    )
+    t = _supp_points(spark, sf_dir)
+    out = knn_cells(q, t, k=3, target_id="s_suppkey", cells_per_degree=8, max_rings=40)
+    return out.select(
+        F.col("query_id").alias("c_custkey"),
+        F.col("neighbor_id").alias("s_suppkey"),
+        "knn_rank",
+        F.round(F.col("dist_km") * 1000).cast("long").alias("dist_m"),
+    )
+
+
+SQL_KNN_CELLS = f"""
+WITH q AS (SELECT * FROM ({_CUST_POINTS_SQL}) WHERE c_custkey % 149 = 0),
+     t AS ({_SUPP_POINTS_SQL}),
+     j AS (SELECT q.c_custkey, t.s_suppkey,
+             CAST(round(round(({_hav_sql('q.lat', 'q.lon', 't.lat', 't.lon')}), 9)*1000) AS BIGINT) AS dist_m,
+             round(({_hav_sql('q.lat', 'q.lon', 't.lat', 't.lon')}), 9) AS dist_km
+           FROM q CROSS JOIN t)
+SELECT c_custkey, s_suppkey, knn_rank, dist_m
+FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey
+      ORDER BY dist_km ASC, s_suppkey ASC) AS knn_rank FROM j)
+WHERE knn_rank <= 3
+"""
+
+
+# axis-aligned test rectangles for the SQL-oracled PIP query. Bounds end in
+# .0005 offsets so no derived point (3-decimal lat/lon) ever sits exactly on
+# an edge — the ray-cast half-open rule and SQL BETWEEN then agree for free.
+_PIP_RECTS = [
+    # (poly_id, name, minx, miny, maxx, maxy)   x=lon, y=lat
+    (1, "west_low", 2.7005, 49.7005, 4.2005, 50.4005),
+    (2, "east_high", 4.2005, 50.4005, 6.0005, 51.3005),
+    (3, "overlap_mid", 3.5005, 50.0005, 5.0005, 50.9005),
+    (4, "empty_north", 2.6005, 51.4505, 3.0005, 51.4905),
+]
+
+
+def q_pip_rect(spark, sf_dir):
+    """J9 with a SQL oracle: customer points against axis-aligned rectangle
+    polygons through the REAL PIP operator (grid-cover cells -> broadcast
+    cell join -> bbox prefilter -> exact ray-cast pandas UDF). Concave /
+    holed rings are covered by the pytest truth table."""
+    from ..operators.spatial import point_in_polygon_join
+
+    pts = _cust_points(spark, sf_dir)
+    rows = []
+    for pid, name, x0, y0, x1, y1 in _PIP_RECTS:
+        ring = [x0, y0, x1, y0, x1, y1, x0, y1, x0, y0]
+        rows.append((pid, name, ring, [0, len(ring)], x0, y0, x1, y1))
+    polys = spark.createDataFrame(
+        rows,
+        "poly_id long, name string, ring_xy array<double>, ring_offsets array<int>, "
+        "bbox_minx double, bbox_miny double, bbox_maxx double, bbox_maxy double",
+    )
+    return point_in_polygon_join(pts, polys).select(
+        "c_custkey", "poly_id", F.col("poly_name")
+    )
+
+
+_PIP_RECTS_SQL = " UNION ALL ".join(
+    f"SELECT {pid} AS poly_id, '{name}' AS poly_name, {x0} AS minx, {y0} AS miny, "
+    f"{x1} AS maxx, {y1} AS maxy"
+    for pid, name, x0, y0, x1, y1 in _PIP_RECTS
+)
+
+SQL_PIP_RECT = f"""
+WITH p AS ({_CUST_POINTS_SQL}), r AS ({_PIP_RECTS_SQL})
+SELECT p.c_custkey, r.poly_id, r.poly_name
+FROM p JOIN r ON p.lon > r.minx AND p.lon < r.maxx AND p.lat > r.miny AND p.lat < r.maxy
+"""
+
+
+# word-3-shingle Jaccard for consecutive-id pairs, DuckDB list math as the
+# oracle (list_distinct/list_intersect are set-semantics like Spark's
+# array_distinct/array_intersect)
+SQL_NGRAM_JACCARD = r"""
+WITH s AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+sh AS (SELECT doc_id,
+        CASE WHEN len(toks) - 2 <= 0 THEN [array_to_string(toks, ' ')]
+             ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) END AS sh
+       FROM s)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(round((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh)))) * 10000) AS BIGINT) AS jaccard_1e4
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+"""
+
+
 # same axial + cube-rounding math spelled in SQL (size 0.05; round() is
 # HALF_UP in both engines for these non-boundary inputs)
 SQL_HEX = f"""
@@ -446,5 +558,27 @@ c AS (SELECT
       FROM b)
 SELECT (CAST(fq AS BIGINT) + 1048576) * 2097152 + (CAST(fr AS BIGINT) + 1048576) AS cell,
        count(*) AS n
+FROM c GROUP BY 1
+"""
+
+
+# hex zoom-out: child center's axial coords on the 4x grid are exactly
+# (fq/4, fr/4); same cube rounding. round() ties (.5 on exact quarters) are
+# away-from-zero in BOTH engines.
+SQL_HEX_PARENT = f"""
+WITH base AS ({SQL_HEX.strip()}),
+ax AS (SELECT n, (CAST(floor(cell/2097152.0) AS BIGINT) - 1048576)/4.0 AS q,
+              ((cell % 2097152) - 1048576)/4.0 AS r
+       FROM base),
+b AS (SELECT *, round(q) AS rq, round(r) AS rr, round(-q - r) AS rs,
+        abs(round(q) - q) AS dq, abs(round(r) - r) AS dr,
+        abs(round(-q - r) + q + r) AS ds
+      FROM ax),
+c AS (SELECT n,
+        CASE WHEN dq > dr AND dq > ds THEN -rr - rs ELSE rq END AS fq,
+        CASE WHEN NOT (dq > dr AND dq > ds) AND dr > ds THEN -rq - rs ELSE rr END AS fr
+      FROM b)
+SELECT (CAST(fq AS BIGINT) + 1048576) * 2097152 + (CAST(fr AS BIGINT) + 1048576) AS pcell,
+       CAST(sum(n) AS BIGINT) AS n
 FROM c GROUP BY 1
 """

@@ -32,7 +32,7 @@ from ..operators.dedup import (
 )
 from ..operators.geocode import GazetteerIndex, build_gazetteer_index, cascade
 from ..operators.pages import pages_to_addresses
-from ..operators.spatial import point_in_polygon_join, tile_rollup
+from ..operators.spatial import tile_rollup
 
 _WORLD_CACHE: dict[tuple, str] = {}
 
@@ -220,34 +220,6 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(d, "doc_id", "text", n=3)
 
 
-def q_pip_flagship(spark, sf_dir):
-    """J9: geocoded flagship points assigned to their city polygon."""
-    res = flagship_cached(spark, sf_dir)
-    polys = spark.read.parquet(f"{world_dir()}/polygons.parquet")
-    pts = res.select(
-        "addr_key",
-        (F.col("lat_1e6") / 1e6).alias("lat"),
-        (F.col("lon_1e6") / 1e6).alias("lon"),
-    )
-    return point_in_polygon_join(pts, polys).select("addr_key", "poly_id", "poly_name")
-
-
-def q_knn_cells_flagship(spark, sf_dir):
-    """J10 scale path: 5 nearest gazetteer houses per geocoded point
-    (cell-ring expansion)."""
-    from ..operators.spatial import knn_cells
-
-    # orderBy before limit: an unordered limit picks nondeterministic rows
-    res = flagship_cached(spark, sf_dir).orderBy("addr_key").limit(200)
-    gaz = spark.read.parquet(f"{world_dir()}/gazetteer.parquet")
-    targets = gaz.filter(F.col("place_rank") == 30).select("place_id", "lat", "lon")
-    qs = res.select(
-        F.col("addr_key").alias("query_id"),
-        (F.col("lat_1e6") / 1e6).alias("lat"),
-        (F.col("lon_1e6") / 1e6).alias("lon"),
-    )
-    out = knn_cells(qs, targets, k=5)
-    return out.select(
-        "query_id", "neighbor_id", "knn_rank",
-        F.round(F.col("dist_km") * 1000).cast("long").alias("dist_m"),
-    )
+# (J9/J10 driver queries now run with SQL oracles over derived points —
+# driver_queries.q_pip_rect / q_knn_cells_grid; the flagship-world PIP and
+# gazetteer kNN paths stay covered by tests/test_spatial_pages.py.)

@@ -86,6 +86,79 @@ def test_hex_center_roundtrip_and_nearest():
             assert d_own <= d_n * (1 + 1e-9)
 
 
+def test_hex_parent_pinned_vectors_and_containment(spark):
+    """Pinned vectors for the hex parent op + semantic invariants: the
+    parent (factor-4 hex) actually contains the child's center, and the
+    Spark Column math matches the scalar twin."""
+    from nominatimwrapper_spark.functions.geo import (
+        hex_cell_center,
+        hex_cell_parent_col,
+        hex_cell_parent_scalar,
+    )
+
+    # pinned vectors (lat, lon, size 0.05 cells like the driver query)
+    pins = {
+        (50.8466, 4.3528): (2198418227878, 2198873309353),
+        (49.5, 2.5): (2198393062036, 2198867017893),
+        (51.4, 6.4): (2198460170925, 2198883795115),
+    }
+    for (la, lo), (child_exp, parent_exp) in pins.items():
+        child = hex_cell_scalar(la, lo, 0.05)
+        assert child == child_exp, (la, lo, child)
+        assert hex_cell_parent_scalar(child, 4) == parent_exp, (la, lo)
+
+    rng = np.random.default_rng(13)
+    pdf = pd.DataFrame(
+        dict(lat=rng.uniform(49.5, 51.5, 200), lon=rng.uniform(2.5, 6.4, 200))
+    )
+    cells = [hex_cell_scalar(la, lo, 0.05) for la, lo in zip(pdf.lat, pdf.lon)]
+    # Spark == scalar
+    got = (
+        spark.createDataFrame(pd.DataFrame(dict(cell=cells)))
+        .select(hex_cell_parent_col(F.col("cell"), 4).alias("p"))
+        .toPandas().p.tolist()
+    )
+    exp = [hex_cell_parent_scalar(c, 4) for c in cells]
+    assert got == exp
+    # center containment (up to exact corner ties, where a child center is
+    # equidistant to two parents and either answer is a valid container):
+    # the assigned parent's center is never farther than any neighbor
+    # parent's center
+    fq_off, span = 1 << 20, 1 << 21
+    for c, p in zip(cells, exp):
+        clat, clon = hex_cell_center(c, 0.05)
+        plat, plon = hex_cell_center(p, 0.05 * 4)
+        d_own = (clat - plat) ** 2 + (clon - plon) ** 2
+        pq = p // span - fq_off
+        pr = p % span - fq_off
+        for dq, dr in [(1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)]:
+            ncell = (pq + dq + fq_off) * span + (pr + dr + fq_off)
+            nlat, nlon = hex_cell_center(ncell, 0.05 * 4)
+            d_n = (clat - nlat) ** 2 + (clon - nlon) ** 2
+            assert d_own <= d_n * (1 + 1e-9), (c, p)
+
+
+def test_multi_zoom_rollup_on_hex(spark):
+    """F21 closure: multi_zoom_rollup runs on the hex tiling (previously
+    only grid and S2 had a parent op) and conserves counts per level."""
+    from nominatimwrapper_spark.functions.geo import hex_cell_parent_col
+    from nominatimwrapper_spark.operators.spatial import multi_zoom_rollup
+
+    rng = np.random.default_rng(14)
+    pts = spark.createDataFrame(
+        pd.DataFrame(dict(lat=rng.uniform(49.5, 51.5, 500), lon=rng.uniform(2.5, 6.4, 500)))
+    )
+    out = multi_zoom_rollup(
+        pts,
+        hex_cell_col(F.col("lat"), F.col("lon"), 0.05),
+        lambda cell, lv: hex_cell_parent_col(cell, 4),
+        levels=[0, 1],
+    ).toPandas()
+    assert out[out.zoom == 0].n.sum() == 500
+    assert out[out.zoom == 1].n.sum() == 500
+    assert len(out[out.zoom == 1]) < len(out[out.zoom == 0])
+
+
 def test_cascade_step_stats(spark, tmp_path_factory):
     from nominatimwrapper_spark.operators.geocode import build_gazetteer_index, cascade
     from nominatimwrapper_spark.synth import gen_world, write_world
