@@ -112,22 +112,47 @@ def digit_prefix_col(col: Column) -> Column:
     return F.regexp_extract(F.coalesce(col, F.lit("")), "^([0-9]+)", 1)
 
 
+# Nominatim's dynamic address.* keys -> output fields, in fillna priority
+# order (reference collapse_params, config.py:115-122). Keys of a result's
+# address map NOT consumed by any entry collapse into output.other.
+COLLAPSE_PARAMS: dict[str, list[str]] = {
+    "street_name": ["road", "pedestrian", "footway", "cycleway", "path",
+                    "address27", "construction", "hamlet", "park", "square"],
+    "post_name": ["town", "village", "city_district", "county", "city"],
+    "house_number": ["house_number"],
+    "country_name": ["country"],
+    "post_code": ["postcode"],
+}
+
+
 def collapse_fillna_col(*cols: Column) -> Column:
     """A6 — first non-null of an ordered column list (reference
     collapse(method='fillna'), utils.py:133-166)."""
     return F.coalesce(*cols)
 
 
-def collapse_set_col(cols: list[Column], minus: list[Column] | None = None) -> Column:
+def collapse_map_col(address_map: Column, out_field: str) -> Column:
+    """Collapse a nominatim-style address map into one output field via the
+    COLLAPSE_PARAMS priority list (reference add_addr_out_columns,
+    utils.py:559-579)."""
+    return collapse_fillna_col(
+        *[F.element_at(address_map, F.lit(k)) for k in COLLAPSE_PARAMS[out_field]]
+    )
+
+
+def collapse_set_col(cols: list[Column] | Column, minus: list[Column] | None = None) -> Column:
     """A7 — distinct non-null values joined by " - ", minus already-picked
     values (the 'other' column; reference utils.py:167-168, 568-574).
+    ``cols`` may be a ready array Column (e.g. map_values of the address
+    map) or a list of scalar Columns.
 
     NB the reference builds a Python set() so ITS join order is
     interpreter-dependent; we keep first-appearance order — deterministic,
     same value set.
     """
+    arr = cols if isinstance(cols, Column) else F.array(*cols)
     arr = F.array_distinct(
-        F.filter(F.array(*cols), lambda x: x.isNotNull() & (x.cast("string") != ""))
+        F.filter(arr, lambda x: x.isNotNull() & (x.cast("string") != ""))
     )
     if minus:
         arr = F.array_except(arr, F.array(*[F.coalesce(m, F.lit("")) for m in minus]))

@@ -28,6 +28,7 @@ so skew cannot concentrate a shuffle partition.
 from __future__ import annotations
 
 import re
+import time
 from dataclasses import dataclass
 
 import pandas as pd
@@ -38,6 +39,8 @@ from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 from ..functions.cleansing import (
     apply_regex_ruleset,
+    collapse_map_col,
+    collapse_set_col,
     compose_address_col,
     digit_prefix_col,
 )
@@ -127,6 +130,39 @@ def build_gazetteer_index(
         ).otherwise(F.lit("")),
     )
 
+    # Output-field derivation. A nominatim-style dynamic ``address`` map
+    # (road/pedestrian/town/village/... keys) collapses through
+    # COLLAPSE_PARAMS exactly like the reference's add_addr_out_columns
+    # (utils.py:559-579): priority fillna per output field, every unconsumed
+    # value set-collapsed into out_other. Flat columns are the fallback for
+    # pre-normalized gazetteers.
+    if "address" in gaz.columns:
+        addr_t = dict(gaz.dtypes).get("address", "")
+        amap = F.col("address") if addr_t.startswith("map") else F.map_from_entries("address")
+        o_street = collapse_map_col(amap, "street_name")
+        o_post_name = collapse_map_col(amap, "post_name")
+        o_house = collapse_map_col(amap, "house_number")
+        o_pc = collapse_map_col(amap, "post_code")
+        o_country = collapse_map_col(amap, "country_name")
+        picked = [o_street, o_post_name, o_house, o_pc, o_country]
+        base = (
+            base.withColumn("_o_street", F.coalesce(o_street, F.col("street_name")))
+            .withColumn("_o_post_name", F.coalesce(o_post_name, F.col("city")))
+            .withColumn("_o_house", F.coalesce(o_house, F.col("house_number")))
+            .withColumn("_o_pc", F.coalesce(o_pc, F.col("post_code")))
+            .withColumn("_o_country", F.coalesce(o_country, F.col("country")))
+            .withColumn("_o_other", collapse_set_col(F.map_values(amap), minus=picked))
+        )
+    else:
+        base = (
+            base.withColumn("_o_street", F.col("street_name"))
+            .withColumn("_o_post_name", F.col("city"))
+            .withColumn("_o_house", F.col("house_number"))
+            .withColumn("_o_pc", F.col("post_code"))
+            .withColumn("_o_country", F.col("country"))
+            .withColumn("_o_other", F.lit(""))
+        )
+
     places = base.select(
         "place_id", "parent_place_id", "street_name", "alt_map", "house_number",
         "post_code", "city", "country", "lat", "lon", "place_rank", "category",
@@ -173,12 +209,12 @@ def build_gazetteer_index(
         .select(
             "key_street", "key_city", "post_code", "house_number", "place_id",
             "parent_place_id", "place_rank", "category", "importance", "lat", "lon",
-            F.coalesce("street_name", F.lit("")).alias("out_street_name"),
-            F.col("city").alias("out_post_name"),
-            F.col("house_number").alias("out_house_number"),
-            F.col("post_code").alias("out_post_code"),
-            F.col("country").alias("out_country_name"),
-            F.lit("").alias("out_other"),
+            F.coalesce("_o_street", F.lit("")).alias("out_street_name"),
+            F.col("_o_post_name").alias("out_post_name"),
+            F.col("_o_house").alias("out_house_number"),
+            F.col("_o_pc").alias("out_post_code"),
+            F.col("_o_country").alias("out_country_name"),
+            F.col("_o_other").alias("out_other"),
             "namedetails",
         )
         .dropDuplicates(["key_street", "place_id"])
@@ -937,6 +973,7 @@ def cascade(
     step_stats: list[dict] = []
 
     for transformers in seqs:
+        stage_t0 = time.monotonic()
         keep, reject = _one_stage(todo, transformers, index, check_results)
         # Materialize + truncate lineage at every stage boundary: the loop
         # otherwise accretes one giant plan across 10 stages (multi-MB task
@@ -950,10 +987,13 @@ def cascade(
             rejects = reject if rejects is None else rejects.unionByName(reject)
 
         if with_stats:
-            # per-stage counters — reference step_stats (utils.py:678-686);
-            # every frame here is checkpointed so these are cheap scans
+            # per-stage counters — reference step_stats (utils.py:678-686) —
+            # plus wall time per stage, the reference's timestats label map
+            # (base.py:275-301); every frame here is checkpointed (the stage
+            # really ran inside the timed span) so these are cheap scans
             stat = {
                 "method": "+".join(transformers),
+                "wall_s": round(time.monotonic() - stage_t0, 3),
                 "todo": todo.count(),
                 "match": keep.count(),
                 "match_26": keep.filter(F.col("match_on_cleansed_house_number")).count(),

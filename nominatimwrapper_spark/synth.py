@@ -80,6 +80,32 @@ def gen_gazetteer(n_streets: int = 240, houses_per_street: int = 8, seed: int = 
     rows = []
     pid = 1000
 
+    # Nominatim's address.* keys are DYNAMIC: the street may arrive under
+    # road / pedestrian / square ..., the locality under town / village /
+    # city ... — the collapse map (reference config.py:115-122) must absorb
+    # this. Extra keys (suburb, state) belong to no output field and land in
+    # output.other. Vocab is deliberately disjoint from street names so the
+    # checker's street similarity never keys on an 'other' value.
+    _STREET_KEYS = ["road", "pedestrian", "footway", "path", "square"]
+    _CITY_KEYS = ["town", "village", "city_district", "county", "city"]
+    _SUBURBS = ["Quartier Nord", "Quartier Sud", "Quartier Centre", "Quartier Ouest"]
+    _STATE = "Region Synthetique"
+
+    def _mk_address(street, hn, pc, city, extra_p=0.3):
+        a = {}
+        if street:
+            a[_STREET_KEYS[int(rng.integers(0, len(_STREET_KEYS)))] if rng.random() < 0.4 else "road"] = street
+        if hn:
+            a["house_number"] = hn
+        a[_CITY_KEYS[int(rng.integers(0, len(_CITY_KEYS)))] if rng.random() < 0.4 else "city"] = city
+        a["postcode"] = pc
+        a["country"] = COUNTRY
+        if rng.random() < extra_p:
+            a["suburb"] = _SUBURBS[int(rng.integers(0, len(_SUBURBS)))]
+        if rng.random() < 0.15:
+            a["state"] = _STATE
+        return a
+
     city_pids = {}
     for name_fr, name_nl, pc, lat, lon, _w in CITIES:
         city_name = name_fr
@@ -89,6 +115,7 @@ def gen_gazetteer(n_streets: int = 240, houses_per_street: int = 8, seed: int = 
                 house_number="", post_code=pc, city=city_name, country=COUNTRY,
                 lat=lat, lon=lon, place_rank=16, category="place",
                 importance=0.8, name_fr=name_fr, name_nl=name_nl or "",
+                address=_mk_address("", "", pc, city_name),
             )
         )
         city_pids[pc] = pid
@@ -102,7 +129,10 @@ def gen_gazetteer(n_streets: int = 240, houses_per_street: int = 8, seed: int = 
         name_fr, name_nl, pc, clat, clon, _w = CITIES[ci]
         kind = FR_KINDS[int(rng.integers(0, len(FR_KINDS)))]
         base = NAME_VOCAB[int(rng.integers(0, len(NAME_VOCAB)))]
-        key = (pc, kind, base)
+        # base unique per city (not per (city, kind)): two same-base streets
+        # of different kinds in one city would make fuzzy street rescue
+        # legitimately ambiguous — a tie on everything but importance
+        key = (pc, base)
         if key in used:
             continue
         used.add(key)
@@ -133,6 +163,7 @@ def gen_gazetteer(n_streets: int = 240, houses_per_street: int = 8, seed: int = 
                 country=COUNTRY, lat=slat, lon=slon, place_rank=26,
                 category="highway", importance=float(np.round(rng.uniform(0.2, 0.6), 6)),
                 name_fr=fr_street, name_nl=nl_street,
+                address=_mk_address(canonical, "", pc, name_fr),
             )
         )
         pid += 1
@@ -150,6 +181,7 @@ def gen_gazetteer(n_streets: int = 240, houses_per_street: int = 8, seed: int = 
                     place_rank=30, category="building",
                     importance=float(np.round(rng.uniform(0.0, 0.2), 6)),
                     name_fr=fr_street, name_nl=nl_street,
+                    address=_mk_address(canonical, str(hn), pc, name_fr),
                 )
             )
             pid += 1
@@ -415,8 +447,10 @@ def write_world(path: str, world: dict[str, pd.DataFrame] | None = None, **kw) -
                 df[c] = df[c].astype(str(df[c].dtype).replace("ns", "us"))
         if name == "gazetteer":
             # list<struct<key,value>> so Spark reads map_from_entries-ready
-            df["alt_names"] = df["alt_names"].map(
-                lambda d: [{"key": k, "value": v} for k, v in d.items()]
-            )
+            for mc in ("alt_names", "address"):
+                if mc in df.columns:
+                    df[mc] = df[mc].map(
+                        lambda d: [{"key": k, "value": v} for k, v in d.items()]
+                    )
         table = pa.Table.from_pandas(df, preserve_index=False)
         pq.write_table(table, f"{path}/{name}.parquet")

@@ -179,3 +179,5 @@ def test_cascade_step_stats(spark, tmp_path_factory):
     assert todos == sorted(todos, reverse=True)
     assert sum(s["match"] for s in stats) == res.count()
     assert {"reject_rec", "reject_addr", "reject_mism"} <= set(stats[0].keys())
+    # per-stage wall-time accounting (reference timestats, base.py:275-301)
+    assert all(s["wall_s"] >= 0 for s in stats)

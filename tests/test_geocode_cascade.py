@@ -105,6 +105,35 @@ def test_rejects_have_reason_and_distance(cascade_out):
         assert (with_match.distance_to_match >= 0).all()
 
 
+def test_collapse_map_output_path(cascade_out, world):
+    """A6/A7 load-bearing end-to-end: the gazetteer's nominatim-style
+    address map has dynamic keys (street under road/pedestrian/square...,
+    locality under town/village/...), plus suburb/state extras. The output
+    path must (a) resolve out_street_name through the collapse priority
+    list whatever key the street arrived under, and (b) set-collapse every
+    unconsumed value into out_other."""
+    res, _rej, _a = cascade_out
+    gaz = world["gazetteer"].set_index("place_id")
+    street_keys = {"road", "pedestrian", "footway", "cycleway", "path",
+                   "address27", "construction", "hamlet", "park", "square"}
+    picked_keys = street_keys | {"town", "village", "city_district", "county",
+                                 "city", "house_number", "country", "postcode"}
+    n_nonroad = 0
+    n_other = 0
+    for _, row in res.iterrows():
+        amap = gaz.loc[int(row.place_id), "address"]
+        skey = next((k for k in amap if k in street_keys), None)
+        if skey and skey != "road":
+            n_nonroad += 1
+            assert row.out_street_name == amap[skey], (row.place_id, skey)
+        extras = {v for k, v in amap.items() if k not in picked_keys}
+        got = set(row.out_other.split(" - ")) if row.out_other else set()
+        assert got == extras, (row.place_id, got, extras)
+        n_other += bool(extras)
+    assert n_nonroad > 0  # dynamic keys actually exercised
+    assert n_other > 0    # extras actually collapsed into other
+
+
 def test_extra_house_number_columns(cascade_out):
     """extraHouseNumber enrichment (reference utils.py:811-843, default-on
     API flag): in_house_number echoes the INPUT house number;
