@@ -10,7 +10,7 @@ Reference lifecycle being reproduced (values, not architecture):
     process_osm (REST + parse)   utils.py:300-441     -> _process()/_candidates_unique()
     osm_keep_relevant_results    check_result_utils.py:648-699 -> _score()/_pick_best()
     match_parent                 check_result_utils.py:560-644 -> _parent_rescue()
-    retry_with_low_place_rank    utils.py:225-299     -> _retry_low_rank()
+    retry_with_low_place_rank    utils.py:225-299     -> _retry_low_rank_unique()
     libpostal_transformer        transformers.py:261-320 -> rule-based parse UDF
     photon_transformer           transformers.py:182-247 -> locality-candidate rerank
 
@@ -504,16 +504,22 @@ def _parent_rescue(
 
 
 def _process(
-    addr: DataFrame, index: GazetteerIndex, check_results: bool, use_parent: bool = True
+    addr: DataFrame,
+    index: GazetteerIndex,
+    check_results: bool,
+    use_parent: bool = True,
+    with_retry: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """process_osm analog (utils.py:300-441): candidates -> check / first.
 
     The entire check (scoring UDFs, elimination, best-per-address window,
-    parent rescue) runs at the UNIQUE-composed-address level — O(distinct
-    addresses), the reference's own dedup optimization (utils.py:353-356)
-    extended through the checker. Only the final keep/reject fan back to
-    page keys. Outcomes are identical because every key of one composed
-    address shares the same candidates, scores, and verdicts.
+    parent rescue, AND the low-rank retry) runs at the UNIQUE-composed-
+    address level — O(distinct addresses), the reference's own dedup
+    optimization (utils.py:353-356) extended through the checker. Only the
+    final keep/reject fan back to page keys — ONE pass over the input per
+    stage; no control-flow action ever touches the fanned frame. Outcomes
+    are identical because every key of one composed address shares the same
+    candidates, scores, and verdicts.
     """
     uq = _unique_queries(addr)
     cand = _candidates_unique(uq, index)
@@ -533,6 +539,9 @@ def _process(
             "reject_reason", F.lit("tail")
         )
 
+    if with_retry:
+        keep_u = _retry_low_rank_unique(keep_u, uq, index, check_results)
+
     # fan back to every input key (reference utils.py:394); drop the query
     # fields from the unique side — the fan side re-supplies them. The fan
     # side also carries the _orig payload struct (caller columns + original
@@ -541,22 +550,34 @@ def _process(
     fan = addr.select(ADDR_COLS + ["transformed_address"] + carry)
     drop_q = [c for c in ADDR_COLS[1:]]
     keep = fan.join(keep_u.drop(*drop_q), on="transformed_address", how="inner")
+    if with_retry and "_retry_ta" in keep.columns:
+        # retried rows report their CLEANSED composed address, like the
+        # reference's retry results (utils.py:272-276)
+        keep = keep.withColumn(
+            "transformed_address",
+            F.coalesce(F.col("_retry_ta"), F.col("transformed_address")),
+        ).drop("_retry_ta")
     reject = fan.join(reject_u.drop(*drop_q), on="transformed_address", how="inner")
     return keep, reject
 
 
-def _retry_low_rank(
-    keep: DataFrame, sent: DataFrame, index: GazetteerIndex, check_results: bool
+def _retry_low_rank_unique(
+    keep_u: DataFrame, uq: DataFrame, index: GazetteerIndex, check_results: bool
 ) -> DataFrame:
     """Cleansed-house-number retry for place_rank<30 — reference
-    retry_with_low_place_rank (utils.py:225-299)."""
-    low = keep.filter(F.col("place_rank") < 30).select("addr_key").distinct()
+    retry_with_low_place_rank (utils.py:225-299) — at the UNIQUE-query
+    level: keyed by the ORIGINAL composed address, so the result splices
+    back into keep_u before the (single) fan-back join. The cheap isEmpty
+    guards scan only unique-level frames, never the fanned input."""
+    low = keep_u.filter(F.col("place_rank") < 30).select("transformed_address").distinct()
     if low.isEmpty():
-        return keep
+        return keep_u
 
     retry_in = (
-        sent.join(low, on="addr_key", how="inner")
+        uq.join(low, on="transformed_address", how="inner")
         .filter(~F.coalesce(F.col("housenbr"), F.lit("")).rlike("^[0-9]*$"))
+        # the original composed address becomes the key the retry fans back to
+        .withColumn("addr_key", F.col("transformed_address"))
         .withColumn("housenbr", digit_prefix_col(F.col("housenbr")))
         .withColumn(
             "transformed_address",
@@ -564,19 +585,31 @@ def _retry_low_rank(
                 F.col("street"), F.col("housenbr"), F.col("postcode"), F.col("city"), F.col("country")
             ),
         )
+        .select(ADDR_COLS + ["transformed_address"])
     )
     if retry_in.isEmpty():
-        return keep
+        return keep_u
 
     retried, _ = _process(retry_in, index, check_results, use_parent=False)
     improved = retried.filter(F.col("place_rank") == 30).withColumn(
         "match_on_cleansed_house_number", F.lit(True)
     )
     if improved.isEmpty():
-        return keep
+        return keep_u
 
-    kept = keep.join(improved.select("addr_key").distinct(), on="addr_key", how="left_anti")
-    return kept.unionByName(improved, allowMissingColumns=True)
+    # reshape to keep_u's key space: addr_key here IS the original
+    # transformed_address; the cleansed one rides along for reporting
+    improved_u = (
+        improved.withColumn("_retry_ta", F.col("transformed_address"))
+        .drop("transformed_address")
+        .withColumnRenamed("addr_key", "transformed_address")
+    )
+    kept = keep_u.join(
+        improved_u.select("transformed_address").distinct(),
+        on="transformed_address",
+        how="left_anti",
+    )
+    return kept.unionByName(improved_u, allowMissingColumns=True)
 
 
 # ---------------------------------------------------------------------------
@@ -900,8 +933,7 @@ def _one_stage(
         # row once more just to add one column.
         sent = sent.localCheckpoint(eager=True)
 
-    keep, reject = _process(sent, index, check_results)
-    keep = _retry_low_rank(keep, sent, index, check_results)
+    keep, reject = _process(sent, index, check_results, with_retry=True)
 
     keep = keep.withColumn("method", F.lit(method))
     reject = reject.withColumn("method", F.lit(method))

@@ -1,0 +1,103 @@
+# -*- coding: utf-8 -*-
+"""Custom stateful streaming operator (SURVEY.md §2.10 extension):
+first-seen dedup over a keyed stream via ``applyInPandasWithState``.
+
+Training-pipeline use: a crawl stream re-delivers urls across micro-batches
+(recrawls, retries, mirror copies). Exact dedup needs per-key state that
+OUTLIVES a micro-batch — `dropDuplicates` on a stream buffers unbounded
+state with no emission control, while this operator keeps one boolean per
+key, emits only the first arrival, and expires state with a processing-time
+timeout so the 100 TB key space doesn't accumulate forever.
+
+The same call works per-group on a batch frame through ``first_seen_batch``
+(window + row_number), which is how the test cross-checks stream == batch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+
+def first_seen_batch(df: DataFrame, key: str = "url", order: str = "warc_ts") -> DataFrame:
+    """Batch twin: earliest row per key (ties -> arbitrary but stable via
+    the order column only, matching the stream's arrival-order semantics
+    when the input files are ordered)."""
+    w = Window.partitionBy(key).orderBy(F.col(order).asc())
+    return df.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+
+
+def first_seen_stream(
+    stream: DataFrame,
+    key: str = "url",
+    state_ttl_ms: int = 24 * 3600 * 1000,
+) -> DataFrame:
+    """Stateful first-seen filter on a streaming DataFrame.
+
+    One state cell (seen=True) per key; rows of already-seen keys are
+    dropped, the first row per key is emitted verbatim. State expires after
+    ``state_ttl_ms`` of processing-time inactivity — bounded state at
+    planet-scale key cardinality (after expiry a re-arrival is treated as
+    new, the standard TTL trade-off).
+    """
+    out_schema: StructType = stream.schema
+    state_schema = "seen boolean"
+
+    def dedup_fn(
+        key_tuple: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        seen = state.exists
+        emitted = False
+        for pdf in pdfs:
+            if not seen and not emitted and len(pdf):
+                yield pdf.iloc[:1]
+                emitted = True
+        if not seen:
+            state.update((True,))
+        state.setTimeoutDuration(state_ttl_ms)
+
+    return stream.groupBy(key).applyInPandasWithState(
+        dedup_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def run_first_seen_over_dir(
+    spark,
+    input_dir: str,
+    schema,
+    checkpoint_dir: str,
+    key: str = "url",
+    query_name: str = "first_seen",
+):
+    """File-source stream -> stateful first-seen dedup -> in-memory sink
+    (append mode; the operator emits each key exactly once across ALL
+    micro-batches — the resume/checkpoint behavior the S7 story needs).
+
+    NB: with state timeouts configured, Spark keeps scheduling cleanup
+    micro-batches, so ``processAllAvailable()`` never returns — poll the
+    sink for the expected row count instead (see the test)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    deduped = first_seen_stream(stream, key=key)
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
