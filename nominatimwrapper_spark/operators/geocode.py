@@ -522,6 +522,13 @@ def _process(
     candidates, scores, and verdicts.
     """
     uq = _unique_queries(addr)
+    # TINY (one row per distinct composed address) but its plan is a full
+    # dedup pass over the input: eager-materialize so the six candidate
+    # levels and every scoring/rescue/retry action read the materialized
+    # rows instead of re-triggering the 2M-row dedup whenever exchange
+    # reuse doesn't apply (the pandas-UDF key projections sit between the
+    # branches and the shared shuffle)
+    uq = uq.localCheckpoint(eager=True)
     cand = _candidates_unique(uq, index)
     ukey = "transformed_address"
 

@@ -137,7 +137,12 @@ def flagship(
     """documents -> pages -> extract -> geocode -> S2 cells. Returns the
     geocoded point table (one row per injected address)."""
     pages = pages_from_documents(spark, sf_dir, replicate=replicate)
-    addrs = pages_to_addresses(pages)
+    # dedup_crawls=False: doc://<id> urls are unique BY CONSTRUCTION, and the
+    # as-of window would shuffle every page WITH its html payload — a pure
+    # I/O tax on a no-op. Real crawl inputs (recrawls present) pay it; the
+    # operator is oracle-checked (asof_latest) and exercised on the synth
+    # dup-bearing pages table in tests.
+    addrs = pages_to_addresses(pages, dedup_crawls=False)
     index = gazetteer_index(spark)
     # addr_key = url#pos is unique by construction -> skip the guard shuffle;
     # extraHouseNumber off: the flagship schema doesn't surface those fields
