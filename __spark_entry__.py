@@ -88,4 +88,5 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": dq.SQL_COSINE,
         "window_time_bucket": dq.SQL_WINDOW_BUCKET,
         "ngram_jaccard": dq.SQL_NGRAM_JACCARD,
+        "lang_quality": dq.SQL_LANG_QUALITY,
     }

@@ -359,6 +359,53 @@ FROM documents
 """
 
 
+def _sql_str_list(words) -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(words))
+
+
+def _sql_lang_quality() -> str:
+    """DuckDB twin of flagship.q_lang_quality: the same stopword-argmax
+    lang-ID heuristic (functions/text.py detect_lang) spelled as SQL —
+    word lists imported from the canonical source so they can't drift.
+    trunc() mirrors Spark's cast-to-int (toward zero); tie priority
+    en > fr > nl mirrors the fixed loop order."""
+    from ..functions.text import _LANG_STOPWORDS
+
+    fr = _sql_str_list(_LANG_STOPWORDS["fr"])
+    nl = _sql_str_list(_LANG_STOPWORDS["nl"])
+    en = _sql_str_list(_LANG_STOPWORDS["en"])
+    return rf"""
+WITH w AS (
+  SELECT doc_id, text, lang,
+         regexp_extract_all(lower(text), '[a-zà-ÿ'']+') AS words,
+         length(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+  FROM documents
+), s AS (
+  SELECT doc_id, text, lang, n_tok, length(words) AS n_words,
+    CASE WHEN words IS NULL THEN 0
+         ELSE length(list_filter(words, x -> x IN ({fr}))) END AS fr_n,
+    CASE WHEN words IS NULL THEN 0
+         ELSE length(list_filter(words, x -> x IN ({nl}))) END AS nl_n,
+    CASE WHEN words IS NULL THEN 0
+         ELSE length(list_filter(words, x -> x IN ({en}))) END AS en_n
+  FROM w
+)
+SELECT doc_id,
+  CASE WHEN text IS NULL OR text = '' OR n_words IS NULL OR n_words = 0 THEN 'und'
+       WHEN greatest(fr_n, nl_n, en_n) = 0 THEN 'und'
+       WHEN en_n >= fr_n AND en_n >= nl_n THEN 'en'
+       WHEN fr_n >= nl_n THEN 'fr'
+       ELSE 'nl' END AS lang_detected,
+  lang,
+  CAST(n_tok AS INT) AS n_tokens,
+  CAST(trunc(CAST(length(text) AS DOUBLE) / greatest(n_tok, 1)) AS INT) AS avg_token_len
+FROM s
+"""
+
+
+SQL_LANG_QUALITY = _sql_lang_quality()
+
+
 def q_cosine_topk(spark, sf_dir):
     """Similarity search: brute-force cosine top-10 vs the vec_id=0 probe.
     Dot/norm computed with the same left-to-right accumulation in both
