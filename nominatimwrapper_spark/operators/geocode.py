@@ -529,6 +529,16 @@ def _process(
     # reuse doesn't apply (the pandas-UDF key projections sit between the
     # branches and the shared shuffle)
     uq = uq.localCheckpoint(eager=True)
+    # AQE sizes the dedup output by BYTES, so a small unique set coalesces
+    # to ~1 partition — which serializes the similarity-scoring pandas UDFs
+    # (CPU-heavy per row, not byte-heavy) onto one core for the rest of the
+    # stage. Spread it across the cluster. Only widen (a big unique set
+    # already has >= parallelism partitions from AQE — never collapse it),
+    # and the shuffle being repartitioned is the tiny unique frame, not the
+    # input.
+    par = addr.sparkSession.sparkContext.defaultParallelism
+    if uq.rdd.getNumPartitions() < par:
+        uq = uq.repartition(par)
     cand = _candidates_unique(uq, index)
     ukey = "transformed_address"
 
@@ -964,6 +974,18 @@ def _conform(df: DataFrame, cols: list[str]) -> DataFrame:
     return df.select(sel)
 
 
+def _is_materialized(df: DataFrame) -> bool:
+    """True when the frame's plan is already a materialized row scan
+    (localCheckpoint / RDD-backed) rather than a computation."""
+    try:
+        return (
+            df._jdf.queryExecution().analyzed().getClass().getSimpleName()
+            == "LogicalRDD"
+        )
+    except Exception:  # pragma: no cover - py4j surface change
+        return False
+
+
 def cascade(
     addresses: DataFrame,
     index: GazetteerIndex,
@@ -988,8 +1010,11 @@ def cascade(
     # materialize the input ONCE: the duplicate guard, every stage, and the
     # final original-fields restore all reuse it — without this the input
     # plan (often an extraction-UDF pipeline over raw pages) is re-evaluated
-    # three times
-    addresses = addresses.localCheckpoint(eager=True)
+    # three times. Skip when the caller already handed us materialized rows
+    # (a checkpoint scan) — re-checkpointing would rewrite every input row
+    # once more for nothing.
+    if not _is_materialized(addresses):
+        addresses = addresses.localCheckpoint(eager=True)
 
     if validate_unique:  # skippable when keys are unique by construction
         dup = addresses.groupBy("addr_key").count().filter("count > 1")
@@ -1011,15 +1036,28 @@ def cascade(
     rejects: DataFrame | None = None
     step_stats: list[dict] = []
 
+    # Materializing each stage's fanned-back keep frame stores the FULL
+    # result width (input row + _orig payload + result fields) — at 2M+
+    # pages that block write is the single largest core-count-independent
+    # cost in the job. It's only worth paying when the frame really is
+    # read more than once at full width: stats mode (several counts per
+    # stage) and rejected mode (results re-scanned for the distance join).
+    # Otherwise the unique-level checkpoints inside _process already pin
+    # the expensive scoring, and the fan-back is a rescan-cheap broadcast
+    # join: n_keep and the anti-join read it column-pruned, the final sink
+    # reads it full-width exactly once.
+    materialize_stages = with_stats or with_rejected
+
     for transformers in seqs:
         stage_t0 = time.monotonic()
         keep, reject = _one_stage(todo, transformers, index, check_results)
-        # Materialize + truncate lineage at every stage boundary: the loop
-        # otherwise accretes one giant plan across 10 stages (multi-MB task
-        # binaries, analysis/codegen blow-up). This is the Spark analog of
-        # the reference's per-stage materialized pandas frames; on a cluster
-        # the same boundary is the S7 per-partition checkpoint.
-        keep = keep.localCheckpoint(eager=True)
+        # Lineage stays bounded either way: every stage's todo is
+        # checkpointed below, so each keep plan is rooted one stage deep.
+        # This is the Spark analog of the reference's per-stage
+        # materialized pandas frames; on a cluster the same boundary is
+        # the S7 per-partition checkpoint.
+        if materialize_stages:
+            keep = keep.localCheckpoint(eager=True)
         results = keep if results is None else results.unionByName(keep)
         if with_rejected:
             reject = reject.localCheckpoint(eager=True)

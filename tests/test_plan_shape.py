@@ -89,7 +89,16 @@ def test_cascade_result_has_no_restore_join(spark, tmp_path_factory):
     ).withColumn("caller_col", F.concat(F.lit("payload-"), F.col("addr_key")))
     res, _ = cascade(addr, index, with_rejected=False)
     plan = _formatted(res)
-    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # The fan-back join (keyed on transformed_address) may legitimately
+    # appear as a shuffle join — at scale the unique-address side can be
+    # too big to broadcast, and AQE converts it when it's small. What must
+    # NOT exist is a join keyed on addr_key: that's the full-input restore
+    # join the _orig payload struct replaces.
+    import re
+
+    assert not re.search(r"keys \[\d+\]: \[addr_key", plan), (
+        "final cascade plan contains a join keyed on addr_key (restore join)"
+    )
     # caller columns survive the cascade without the join
     out = res.select("addr_key", "caller_col").toPandas()
     assert (out["caller_col"] == "payload-" + out["addr_key"]).all()
