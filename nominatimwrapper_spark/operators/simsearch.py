@@ -138,6 +138,111 @@ def cosine_topk_lsh(
     )
 
 
+def train_ivf_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 64,
+    sample_rows: int = 20_000,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> np.ndarray:
+    """Spherical k-means centroids from a deterministic corpus sample.
+
+    The sample is a tiny sketch (id-hash modulus, reproducible regardless
+    of partitioning) and the Lloyd iterations run driver-side in numpy —
+    at 100 TB the index BUILD stays O(sample), only the one-matmul
+    assignment UDF touches the corpus. Returns (n_centroids, dim) unit
+    rows."""
+    n_total = vectors.count()
+    step = max(1, n_total // sample_rows)
+    samp = (
+        vectors.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(step)) == 0)
+        .select(vec_col)
+        .toPandas()[vec_col]
+    )
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in samp])
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    k = min(n_centroids, len(m))
+    cent = m[rng.choice(len(m), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(k):
+            members = m[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return cent
+
+
+def _ivf_assign_udf(centroids: np.ndarray):
+    """centroid id of each vector — one matmul per Arrow batch."""
+    planes = centroids.T  # (dim, k)
+
+    @pandas_udf(LongType())
+    def _assign(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ planes, axis=1).astype(np.int64))
+
+    return _assign
+
+
+def cosine_topk_ivf(
+    vectors: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_centroids: int = 64,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-flat approximate top-k — the second scale path next to
+    ``cosine_topk_lsh``. Corpus rows get one centroid id (inverted list);
+    each probe searches only its ``nprobe`` nearest lists, so candidate
+    volume is ~ corpus * nprobe / n_centroids on balanced lists. The
+    centroid-id equi-join is shuffle-free on the corpus side beyond the
+    bucketing column itself; probes are broadcast."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            vectors, n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    assign = _ivf_assign_udf(centroids)
+
+    v = vectors.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "_cid", assign(F.col(vec_col))
+    )
+
+    # nprobe nearest centroids per probe: probes are the SMALL side —
+    # compute driver-side in one matmul, explode to (probe, cid) pairs.
+    ppd = probes.select(F.col(probe_id_col), F.col(vec_col).alias("_pvec")).toPandas()
+    pm = np.stack([np.asarray(x, dtype=np.float64) for x in ppd["_pvec"]])
+    pm_n = pm / np.maximum(np.linalg.norm(pm, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(-(pm_n @ centroids.T), axis=1)[:, :nprobe]
+    probe_cids = pd.DataFrame(
+        {
+            probe_id_col: ppd[probe_id_col].repeat(order.shape[1]).values,
+            "_cid": order.reshape(-1).astype(np.int64),
+            "_pvec": ppd["_pvec"].repeat(order.shape[1]).values,
+        }
+    )
+    p = F.broadcast(vectors.sparkSession.createDataFrame(probe_cids))
+
+    cand = (
+        v.join(p, on="_cid", how="inner")
+        .withColumn("cos_sim", cosine_sim_col(F.col(vec_col), F.col("_pvec")))
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(probe_id_col, id_col, "rank", F.round(F.col("cos_sim") * 10000).cast("long").alias("cos_1e4"))
+    )
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,

@@ -12,7 +12,9 @@ from nominatimwrapper_spark.operators.format import format_results
 from nominatimwrapper_spark.operators.simsearch import (
     cosine_near_dup_pairs,
     cosine_topk_bruteforce,
+    cosine_topk_ivf,
     cosine_topk_lsh,
+    train_ivf_centroids,
 )
 
 SF = "/root/testdata/sf0.01"
@@ -51,6 +53,35 @@ def test_lsh_recall_vs_bruteforce(vectors, probes):
     # top-1 (self) must always survive: identical vectors share all buckets
     top1 = lsh[lsh["rank"] == 1]
     assert set(top1.probe_id) == set(bf.probe_id.unique())
+
+
+def test_ivf_recall_vs_bruteforce(vectors, probes):
+    k = 5
+    bf = cosine_topk_bruteforce(vectors, probes, k=k).toPandas()
+    ivf = cosine_topk_ivf(vectors, probes, k=k, n_centroids=32, nprobe=4).toPandas()
+    recalls = []
+    for pid, grp in bf.groupby("probe_id"):
+        truth = set(grp.vec_id)
+        got = set(ivf[ivf.probe_id == pid].vec_id)
+        recalls.append(len(truth & got) / len(truth))
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.6, f"IVF mean recall {mean_recall}"
+    # each probe's own vector lives in the probe's best centroid list,
+    # which nprobe>=1 always searches -> self must rank first
+    top1 = ivf[ivf["rank"] == 1]
+    assert (top1.probe_id == top1.vec_id).all()
+    assert (top1.cos_1e4 == 10000).all()
+
+
+def test_ivf_centroids_deterministic(vectors):
+    a = train_ivf_centroids(vectors, n_centroids=16, iters=3)
+    b = train_ivf_centroids(vectors, n_centroids=16, iters=3)
+    import numpy as np
+
+    assert a.shape == (16, len(vectors.select("embedding").first()[0]))
+    assert np.array_equal(a, b)
+    # unit rows (spherical k-means)
+    assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
 
 
 def test_cosine_near_dup_pairs(spark, vectors):
