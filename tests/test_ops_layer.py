@@ -97,6 +97,67 @@ def test_streaming_matches_batch(spark, tmp_path):
     pd.testing.assert_frame_equal(got[key + ["n"]], exp[key + ["n"]])
 
 
+def test_streaming_geocode_matches_batch_and_resumes(spark, tmp_path):
+    """Streaming flagship (foreachBatch cascade): stream output ==
+    batch output on the same pages, and a RESTARTED query with the same
+    checkpointLocation only processes files that arrived after the last
+    committed micro-batch (exactly-once resume, no re-geocoding)."""
+    import glob
+    import shutil
+
+    from nominatimwrapper_spark.plans.flagship import (
+        gazetteer_index,
+        pages_from_documents,
+    )
+    from nominatimwrapper_spark.streaming.geocode_stream import (
+        geocode_micro_batch,
+        geocode_pages_stream,
+    )
+
+    sf001 = "/root/testdata/sf0.001"
+    pages = pages_from_documents(spark, sf001).localCheckpoint(eager=True)
+    half_a = pages.filter(F.crc32(F.col("url")) % 2 == 0)
+    half_b = pages.filter(F.crc32(F.col("url")) % 2 == 1)
+    index = gazetteer_index(spark)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def _drop_file(df, name):
+        d = str(tmp_path / f"_stage_{name}")
+        df.coalesce(1).write.parquet(d)
+        src = glob.glob(f"{d}/part-*.parquet")[0]
+        shutil.move(src, str(in_dir / f"{name}.parquet"))
+        shutil.rmtree(d)
+
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    _drop_file(half_a, "000")
+    q = geocode_pages_stream(spark, str(in_dir), index, out_dir, ck)
+    q.awaitTermination()
+    got1 = spark.read.parquet(out_dir).toPandas()
+    exp1 = geocode_micro_batch(half_a, index).toPandas()
+    key = ["addr_key", "method", "place_id", "cell13"]
+    pd.testing.assert_frame_equal(
+        got1[key].sort_values("addr_key").reset_index(drop=True),
+        exp1[key].sort_values("addr_key").reset_index(drop=True),
+    )
+
+    # second wave arrives; restart from the same checkpoint
+    _drop_file(half_b, "001")
+    q2 = geocode_pages_stream(spark, str(in_dir), index, out_dir, ck)
+    q2.awaitTermination()
+    got2 = spark.read.parquet(out_dir).toPandas()
+    # every address geocoded exactly once: wave-1 rows were NOT reprocessed
+    assert got2["addr_key"].is_unique
+    exp_all = geocode_micro_batch(pages, index).toPandas()
+    pd.testing.assert_frame_equal(
+        got2[key].sort_values("addr_key").reset_index(drop=True),
+        exp_all[key].sort_values("addr_key").reset_index(drop=True),
+    )
+
+
 def test_stateful_first_seen_dedup(spark, tmp_path):
     """Custom stateful operator: first-seen url dedup across micro-batches
     (applyInPandasWithState). Chunk 1 = 40 urls at T0; chunk 2 = the same
