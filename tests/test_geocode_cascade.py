@@ -210,6 +210,37 @@ def test_non_broadcast_path_same_results(spark, world, index, cascade_out):
     pd.testing.assert_frame_equal(b, s)
 
 
+def test_skewed_hot_address_fanback(spark, world, index):
+    """Skew path: one composed address carried by 60% of all input keys (a
+    boilerplate footer address on half the crawl). Scoring runs once at the
+    unique level regardless; the fan-back join must give every key of the
+    hot address the identical result, exactly one row per key (AQE
+    skew-join handles the physical partition split at scale)."""
+    a = world["addresses"]
+    origs = a[a.expected_method == "orig"]
+    base = origs.iloc[0]
+    cold = origs.iloc[1:]
+    n_hot, n_cold = 6000, 4000
+    ci = [i % len(cold) for i in range(n_cold)]
+    rows = pd.DataFrame(
+        dict(
+            addr_key=[f"hot{i}" for i in range(n_hot)]
+            + [f"cold{i}" for i in range(n_cold)],
+            street=[base.streetName] * n_hot + list(cold.streetName.iloc[ci]),
+            housenbr=[base.houseNumber] * n_hot + list(cold.houseNumber.iloc[ci]),
+            postcode=[base.postCode] * n_hot + list(cold.postCode.iloc[ci]),
+            city=[base.postName] * n_hot + list(cold.postName.iloc[ci]),
+            country=[""] * (n_hot + n_cold),
+        )
+    )
+    addr = spark.createDataFrame(rows)
+    res, _ = cascade(addr, index, check_results=True, with_rejected=False)
+    got = res.select("addr_key", "place_id").toPandas()
+    assert got["addr_key"].is_unique and len(got) == n_hot + n_cold
+    hot = got[got.addr_key.str.startswith("hot")]
+    assert hot["place_id"].nunique() == 1  # every hot key -> same place
+
+
 def test_broadcast_gate_is_byte_based(spark, world):
     gaz = spark.read.parquet(f"{world['_dir']}/gazetteer.parquet")
     small = build_gazetteer_index(gaz)  # a synth world is far under the cap
