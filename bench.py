@@ -27,6 +27,10 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
+    # the big flagship (8M pages at sf0.1) holds several GB of checkpoint
+    # blocks; the stock 8g heap GC-thrashes there (measured round 1)
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "20g")
+
     from nominatimwrapper_spark.session import get_spark
 
     # SAME regime as scripts/scaling.py: 128 shuffle partitions (measurably
@@ -42,9 +46,9 @@ def main() -> None:
     qs = dict(em.queries())
     # bench-scale flagship: fan documents into N pages each so throughput is
     # data-bound, not fixed-overhead-bound. Measured at two page counts
-    # (default 500k and 2M at sf0.1) after a replicate=1 warm-up that pays
+    # (default 2M and 8M at sf0.1) after a replicate=1 warm-up that pays
     # the JVM/codegen/python-worker spin-up outside the timed window.
-    rep = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_REPLICATE", "100"))
+    rep = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_REPLICATE", "400"))
     rep_big = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_REPLICATE_BIG", str(rep * 4)))
     from nominatimwrapper_spark.plans.flagship import flagship as _flagship
 
