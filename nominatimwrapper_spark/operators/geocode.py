@@ -248,10 +248,17 @@ def _avg_row_bytes(df: DataFrame, sample_rows: int = 2000) -> int:
 
 def _unique_queries(addr: DataFrame) -> DataFrame:
     """Dedup on the composed address before the (expensive) lookup —
-    reference utils.py:353-356."""
+    reference utils.py:353-356. The same shuffle also counts how many input
+    keys each distinct address carries (``_n_keys``): downstream control
+    flow (matched-row counts, the everyone-matched short-circuit) then
+    never needs an extra pass over the fanned input."""
     return (
         addr.select("transformed_address", "street", "housenbr", "postcode", "city", "country")
-        .dropDuplicates(["transformed_address"])
+        .groupBy("transformed_address")
+        .agg(
+            *[F.first(c).alias(c) for c in ("street", "housenbr", "postcode", "city", "country")],
+            F.count(F.lit(1)).alias("_n_keys"),
+        )
         .withColumn("q_street_key", street_key_udf(F.col("street")))
         .withColumn("q_city_key", city_key_udf(F.col("city")))
         .withColumn("q_pc", F.coalesce(F.col("postcode"), F.lit("")))
@@ -509,7 +516,7 @@ def _process(
     check_results: bool,
     use_parent: bool = True,
     with_retry: bool = False,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, int, DataFrame | None]:
     """process_osm analog (utils.py:300-441): candidates -> check / first.
 
     The entire check (scoring UDFs, elimination, best-per-address window,
@@ -520,6 +527,11 @@ def _process(
     stage; no control-flow action ever touches the fanned frame. Outcomes
     are identical because every key of one composed address shares the same
     candidates, scores, and verdicts.
+
+    Returns (keep, reject, n_keep, unmatched): n_keep is the fanned keep
+    row count via unique-level multiplicities; unmatched (when the input
+    carries _orig) is the rebuilt not-matched todo set — both byproducts
+    the cascade loop uses instead of re-scanning the fan.
     """
     uq = _unique_queries(addr)
     # TINY (one row per distinct composed address) but its plan is a full
@@ -539,6 +551,10 @@ def _process(
     par = addr.sparkSession.sparkContext.defaultParallelism
     if uq.rdd.getNumPartitions() < par:
         uq = uq.repartition(par)
+    # per-address key multiplicities stay OUT of the scoring pipeline (they
+    # would otherwise ride the fan-back join into the output schema)
+    uq_counts = uq.select("transformed_address", "_n_keys")
+    uq = uq.drop("_n_keys")
     cand = _candidates_unique(uq, index)
     ukey = "transformed_address"
 
@@ -575,7 +591,32 @@ def _process(
             F.coalesce(F.col("_retry_ta"), F.col("transformed_address")),
         ).drop("_retry_ta")
     reject = fan.join(reject_u.drop(*drop_q), on="transformed_address", how="inner")
-    return keep, reject
+
+    # Control-flow byproducts at the UNIQUE level, so the cascade loop never
+    # scans the fanned input again just to count or shrink:
+    # - n_keep: how many fanned rows ``keep`` holds, as sum of multiplicities
+    #   over the matched distinct addresses (retry splices never change the
+    #   matched-address SET, only its rows, so the sum is exact);
+    # - unmatched: the next todo set, rebuilt from the carried _orig payload
+    #   through a unique-key anti-join (small side -> AQE broadcasts it)
+    #   instead of a full-input shuffle on addr_key.
+    matched_tas = keep_u.select(ukey).distinct()
+    row = uq_counts.join(matched_tas, on=ukey, how="inner").agg(
+        F.sum("_n_keys")
+    ).first()
+    n_keep = int(row[0] or 0)
+    unmatched = None
+    if carry:
+        unmatched = (
+            addr.select("transformed_address", "addr_key", "_orig")
+            .join(matched_tas, on=ukey, how="left_anti")
+            .select(
+                "addr_key",
+                *[F.col(f"_orig.{c}").alias(c) for c in ADDR_COLS[1:]],
+                "_orig",
+            )
+        )
+    return keep, reject, n_keep, unmatched
 
 
 def _retry_low_rank_unique(
@@ -607,7 +648,7 @@ def _retry_low_rank_unique(
     if retry_in.isEmpty():
         return keep_u
 
-    retried, _ = _process(retry_in, index, check_results, use_parent=False)
+    retried, _, _, _ = _process(retry_in, index, check_results, use_parent=False)
     improved = retried.filter(F.col("place_rank") == 30).withColumn(
         "match_on_cleansed_house_number", F.lit(True)
     )
@@ -932,8 +973,10 @@ REJECT_EXTRA = ["reject_reason"]
 
 def _one_stage(
     todo: DataFrame, transformers: list[str], index: GazetteerIndex, check_results: bool
-) -> tuple[DataFrame, DataFrame]:
-    """transform_and_process analog (utils.py:589-688)."""
+) -> tuple[DataFrame, DataFrame, int, DataFrame | None]:
+    """transform_and_process analog (utils.py:589-688). Returns
+    (keep, reject, n_keep, unmatched-todo) — the last two computed at the
+    unique-address level inside _process (no extra pass over the fan)."""
     method = "+".join(transformers)
     transformed = apply_transformers(todo, transformers, index, check_results)
     sent = transformed.withColumn(
@@ -950,14 +993,23 @@ def _one_stage(
         # row once more just to add one column.
         sent = sent.localCheckpoint(eager=True)
 
-    keep, reject = _process(sent, index, check_results, with_retry=True)
+    keep, reject, n_keep, unmatched = _process(
+        sent, index, check_results, with_retry=True
+    )
+    if unmatched is not None and transformers != ["orig"]:
+        # the changed-rows filter (and any transformer dropout) removed rows
+        # from ``sent`` before _process saw them — they are unmatched too.
+        # Small-vs-small anti-join: todo at transformer stages is the
+        # already-shrunken no-match tail, sent is checkpointed.
+        dropped = todo.join(sent.select("addr_key"), on="addr_key", how="left_anti")
+        unmatched = unmatched.unionByName(dropped.select(*unmatched.columns))
 
     keep = keep.withColumn("method", F.lit(method))
     reject = reject.withColumn("method", F.lit(method))
     keep_cols = RESULT_COLS + ["street", "housenbr", "postcode", "city", "country"]
     if "_orig" in keep.columns:
         keep_cols = keep_cols + ["_orig"]
-    return _conform(keep, keep_cols), _conform(reject, RESULT_COLS + REJECT_EXTRA)
+    return _conform(keep, keep_cols), _conform(reject, RESULT_COLS + REJECT_EXTRA), n_keep, unmatched
 
 
 def _conform(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -1050,7 +1102,7 @@ def cascade(
 
     for transformers in seqs:
         stage_t0 = time.monotonic()
-        keep, reject = _one_stage(todo, transformers, index, check_results)
+        keep, reject, n_keep, unmatched = _one_stage(todo, transformers, index, check_results)
         # Lineage stays bounded either way: every stage's todo is
         # checkpointed below, so each keep plan is rooted one stage deep.
         # This is the Spark analog of the reference's per-stage
@@ -1084,16 +1136,16 @@ def cascade(
                 )
             step_stats.append(stat)
 
-        # keep holds exactly one row per matched key, so a plain count
-        # detects the everyone-matched case without the anti-join shuffle
-        n_keep = keep.count()
+        # n_keep came from the unique-level multiplicity sum (one row per
+        # matched key in keep), so the everyone-matched break costs nothing
         if n_keep >= n_todo:
             break
         if n_keep == 0:
             continue  # nothing matched this stage; same todo set
-        todo = todo.join(
-            keep.select("addr_key").distinct(), on="addr_key", how="left_anti"
-        ).localCheckpoint(eager=True)
+        # next working set: the unique-key anti-join byproduct of the stage
+        # (matched-address set is the SMALL side — AQE broadcasts it), never
+        # a full-input shuffle on addr_key
+        todo = unmatched.localCheckpoint(eager=True)
         n_todo -= n_keep
 
     assert results is not None

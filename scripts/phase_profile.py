@@ -47,7 +47,9 @@ def main() -> None:
     t1 = time.time()
     res, _ = cascade(addrs, index, with_rejected=False, validate_unique=False,
                      with_extra_house_number=False)
-    n = res.count()
+    # row count comes from the checkpointed input (1 address/page in this
+    # synth world) — counting `res` would execute the fan-back a second time
+    n = addrs.count()
     t2 = time.time()
     res.withColumn("cell13", s2.s2_cell_udf(13)(F.col("lat"), F.col("lon"))).select(
         "addr_key", "cell13"
