@@ -33,9 +33,14 @@ def main() -> None:
     # pinned (default 128 = 4 waves at 4N, 16 at N — amortizes per-task
     # overhead at both sizes) regardless of core count
     n_shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "128"))
+    extra = {}
+    if os.environ.get("SPARK_RDD_COMPRESS"):
+        # A/B hook: lz4-compress cached/checkpointed blocks — trades
+        # (core-scaling) CPU for (shared) memory/store bandwidth
+        extra["spark.rdd.compress"] = "true"
     spark = get_spark(
         master=f"local[{cpus}]", app_name=f"nwspark-scaling-{cpus}",
-        shuffle_partitions=n_shuffle,
+        shuffle_partitions=n_shuffle, extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -68,7 +73,10 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "workload": "flagship_geocode_tile",
+                "workload": (
+                    "flagship_geocode_tile_lz4"
+                    if extra else "flagship_geocode_tile"
+                ),
                 "cpus": cpus,
                 "replicate": replicate,
                 "sf_dir": sf_dir,
