@@ -246,6 +246,50 @@ def test_multimodal_decode_and_features(spark):
     assert a == b
 
 
+def test_real_codecs_wav_and_netpbm(spark):
+    """The stdlib-decodable tier is REAL: exact WAV/P6 metadata and
+    pixel/PCM statistics verified against numpy ground truth."""
+    import numpy as np
+
+    from nominatimwrapper_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_stats,
+        image_stats,
+        make_ppm,
+        make_wav,
+    )
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(10, 20, 3)).astype(np.uint8)
+    t = np.arange(16000)  # exactly 1 s at 16 kHz
+    tone = (12000 * np.sin(2 * np.pi * 220 * t / 16000)).astype("<i2")
+    rows = [
+        (1, "media://1", "image", make_ppm(20, 10, px)),
+        (2, "media://2", "audio", make_wav(16000, tone)),
+        (3, "media://3", "image", b"IMG:99x77:xxxx"),  # fake-codec tier
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    dec = decode_media(media).toPandas().set_index("media_id")
+    assert (int(dec.loc[1, "width"]), int(dec.loc[1, "height"])) == (20, 10)
+    assert int(dec.loc[2, "sample_rate"]) == 16000
+    assert int(dec.loc[2, "duration_ms"]) == 1000
+    assert int(dec.loc[2, "n_frames"]) == 16000
+    assert (int(dec.loc[3, "width"]), int(dec.loc[3, "height"])) == (99, 77)
+
+    ist = image_stats(media).toPandas().set_index("media_id")
+    exp_mu = px.reshape(-1, 3).mean(axis=1).mean()
+    assert abs(ist.loc[1, "mean_luma"] - exp_mu) < 1e-3
+    assert 3 not in ist.index  # fake-codec image has no real pixels
+
+    ast = audio_stats(media).toPandas().set_index("media_id")
+    x = tone.astype(np.float64) / 32768.0
+    assert abs(ast.loc[2, "rms"] - np.sqrt((x * x).mean())) < 1e-5
+    assert int(ast.loc[2, "n_samples"]) == 16000
+    # a 220 Hz tone crosses zero ~440 times/s
+    assert abs(ast.loc[2, "zero_crossing_rate"] * 16000 - 440) < 5
+
+
 def test_video_frame_sampling(spark):
     media = synth_media(spark, n=30)
     frames = sample_video_frames(media, every_k=10).toPandas()
