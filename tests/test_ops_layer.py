@@ -158,6 +158,49 @@ def test_streaming_geocode_matches_batch_and_resumes(spark, tmp_path):
     )
 
 
+def test_geocode_job_partitioned_resume(spark, tmp_path):
+    """The spark-submit job shape: per-crawl-date partitions through the
+    S7 checkpointer. Run -> all computed; rerun -> all resumed (zero
+    recomputation); a lost manifest -> exactly that partition recomputed."""
+    import os
+
+    from nominatimwrapper_spark.jobs.geocode_job import run_job
+    from nominatimwrapper_spark.plans.flagship import (
+        pages_from_documents,
+        world_dir,
+    )
+    from nominatimwrapper_spark.sources.pages_io import write_pages_partitioned
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    # spread across two crawl dates
+    pages = pages.withColumn(
+        "warc_ts",
+        F.when(F.crc32("url") % 2 == 0, F.col("warc_ts")).otherwise(
+            F.col("warc_ts") + F.expr("INTERVAL 1 DAY")
+        ),
+    )
+    pages_dir = str(tmp_path / "pages")
+    write_pages_partitioned(pages, pages_dir)
+    gaz = f"{world_dir()}/gazetteer.parquet"
+    out = str(tmp_path / "out")
+
+    m1 = run_job(spark, pages_dir, gaz, out)
+    assert len(m1) == 2 and all(not m["resumed"] for m in m1.values())
+    assert sum(m["rows_out"] for m in m1.values()) == pages.count()
+    assert all(m["stats"]["methods"].get("orig", 0) > 0 for m in m1.values())
+
+    m2 = run_job(spark, pages_dir, gaz, out)
+    assert all(m["resumed"] for m in m2.values())
+
+    # lose one partition's manifest (simulated mid-job kill)
+    victim = sorted(m1)[0]
+    os.remove(os.path.join(out, f"part={victim}", "_manifest.json"))
+    m3 = run_job(spark, pages_dir, gaz, out)
+    assert not m3[victim]["resumed"]
+    assert all(m["resumed"] for p, m in m3.items() if p != victim)
+    assert m3[victim]["rows_out"] == m1[victim]["rows_out"]
+
+
 def test_stateful_first_seen_dedup(spark, tmp_path):
     """Custom stateful operator: first-seen url dedup across micro-batches
     (applyInPandasWithState). Chunk 1 = 40 urls at T0; chunk 2 = the same
