@@ -43,6 +43,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # lz4 on cached/checkpointed blocks: the cascade materializes the
+        # input once per run and rescans it for dedup + fan-back; compressed
+        # blocks trade per-core CPU (scales with executors) for block-store/
+        # memory-bus bandwidth (shared). Measured: +8% at 2 cores, +18% at
+        # 8 cores on the 8M-page flagship (BENCH.md)
+        .config("spark.rdd.compress", "true")
         # all Python UDFs in this engine are pandas UDFs — Arrow transfer only
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

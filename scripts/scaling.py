@@ -34,10 +34,9 @@ def main() -> None:
     # overhead at both sizes) regardless of core count
     n_shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "128"))
     extra = {}
-    if os.environ.get("SPARK_RDD_COMPRESS"):
-        # A/B hook: lz4-compress cached/checkpointed blocks — trades
-        # (core-scaling) CPU for (shared) memory/store bandwidth
-        extra["spark.rdd.compress"] = "true"
+    if os.environ.get("SPARK_RDD_NOCOMPRESS"):
+        # A/B hook: disable the engine-default lz4 block compression
+        extra["spark.rdd.compress"] = "false"
     spark = get_spark(
         master=f"local[{cpus}]", app_name=f"nwspark-scaling-{cpus}",
         shuffle_partitions=n_shuffle, extra_conf=extra,
@@ -75,7 +74,8 @@ def main() -> None:
             {
                 "workload": (
                     "flagship_geocode_tile_lz4"
-                    if extra else "flagship_geocode_tile"
+                    if spark.conf.get("spark.rdd.compress") == "true"
+                    else "flagship_geocode_tile"
                 ),
                 "cpus": cpus,
                 "replicate": replicate,
