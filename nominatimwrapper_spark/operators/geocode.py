@@ -516,7 +516,8 @@ def _process(
     check_results: bool,
     use_parent: bool = True,
     with_retry: bool = False,
-) -> tuple[DataFrame, DataFrame, int, DataFrame | None]:
+    with_counts: bool = True,
+) -> tuple[DataFrame, DataFrame, int | None, DataFrame | None]:
     """process_osm analog (utils.py:300-441): candidates -> check / first.
 
     The entire check (scoring UDFs, elimination, best-per-address window,
@@ -601,10 +602,12 @@ def _process(
     #   through a unique-key anti-join (small side -> AQE broadcasts it)
     #   instead of a full-input shuffle on addr_key.
     matched_tas = keep_u.select(ukey).distinct()
-    row = uq_counts.join(matched_tas, on=ukey, how="inner").agg(
-        F.sum("_n_keys")
-    ).first()
-    n_keep = int(row[0] or 0)
+    n_keep = None
+    if with_counts:  # the retry recursion ignores counts — skip the action
+        row = uq_counts.join(matched_tas, on=ukey, how="inner").agg(
+            F.sum("_n_keys")
+        ).first()
+        n_keep = int(row[0] or 0)
     unmatched = None
     if carry:
         unmatched = (
@@ -648,7 +651,9 @@ def _retry_low_rank_unique(
     if retry_in.isEmpty():
         return keep_u
 
-    retried, _, _, _ = _process(retry_in, index, check_results, use_parent=False)
+    retried, _, _, _ = _process(
+        retry_in, index, check_results, use_parent=False, with_counts=False
+    )
     improved = retried.filter(F.col("place_rank") == 30).withColumn(
         "match_on_cleansed_house_number", F.lit(True)
     )
