@@ -302,6 +302,24 @@ def tile_rollup(
     return partial.groupBy(cell_col).agg(*final_aggs)
 
 
+def tile_rollup_approx(
+    points: DataFrame,
+    cell_col: str = "cell",
+    distinct_col: str = "id",
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Sketch path for per-tile distincts at 100 TB: HyperLogLog++
+    (``approx_count_distinct``) instead of an exact distinct. Exact
+    distinct-per-cell shuffles every (cell, id) pair and cannot be salted
+    (set union); the HLL sketch partial-aggregates map-side into a
+    fixed-size buffer per cell, so a hot cell costs the same shuffle bytes
+    as a cold one. ``rsd`` = target relative standard deviation."""
+    return points.groupBy(cell_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(distinct_col, rsd).alias(f"approx_{distinct_col}"),
+    )
+
+
 def multi_zoom_rollup(
     points: DataFrame, cell_expr: Column, parent_expr_fn, levels: list[int]
 ) -> DataFrame:

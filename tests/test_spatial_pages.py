@@ -139,6 +139,26 @@ def test_knn_cells_matches_bruteforce(spark, world):
     pd.testing.assert_frame_equal(bf, cc)
 
 
+def test_tile_rollup_approx_within_error(spark, world):
+    """HLL sketch path: per-cell approx distinct within the configured
+    relative error of the exact distinct, exact row counts untouched."""
+    from nominatimwrapper_spark.operators.spatial import tile_rollup_approx
+
+    gaz = spark.read.parquet(f"{world['_dir']}/gazetteer.parquet")
+    pts = gaz.withColumn("cell", grid_cell_col(F.col("lat"), F.col("lon")))
+    exact = (
+        tile_rollup(pts, "cell", count_distinct_col="place_id")
+        .toPandas().set_index("cell").sort_index()
+    )
+    approx = (
+        tile_rollup_approx(pts, "cell", distinct_col="place_id", rsd=0.02)
+        .toPandas().set_index("cell").sort_index()
+    )
+    assert (exact.n == approx.n).all()
+    rel = (approx.approx_place_id - exact.n_place_id).abs() / exact.n_place_id
+    assert rel.max() <= 0.1  # 2% rsd -> 10% is a generous hard bound
+
+
 def test_tile_rollup_plain_vs_salted(spark, world):
     gaz = spark.read.parquet(f"{world['_dir']}/gazetteer.parquet")
     pts = gaz.withColumn("cell", grid_cell_col(F.col("lat"), F.col("lon")))
