@@ -26,7 +26,6 @@ import re
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import Column
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import StringType
 

@@ -32,7 +32,7 @@ import time
 from dataclasses import dataclass
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType, StructField, StructType
@@ -46,7 +46,6 @@ from ..functions.cleansing import (
 )
 from ..functions.geo import haversine_col
 from ..functions.similarity import (
-    SIMILARITY_THRESHOLD,
     city_sim,
     elimination_rule,
     house_number_sim,

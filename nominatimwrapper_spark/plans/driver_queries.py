@@ -12,7 +12,6 @@ the geocode cascade) are registered without an oracle -> rows-only check.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 

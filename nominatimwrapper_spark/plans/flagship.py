@@ -16,7 +16,6 @@ gazetteer.
 from __future__ import annotations
 
 import atexit
-import os
 import shutil
 import tempfile
 
