@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": dq.q_token_stats,                # text analysis
         "cosine_topk": dq.q_cosine_topk,                # similarity search
         "window_time_bucket": dq.q_window_time_bucket,  # streaming analog
+        "range_join": dq.q_range_join,                  # interval join (BNLJ broadcast)
         # engine-native (rows-only)
         "geocode_flagship": fs.q_geocode_flagship,      # §3.4 lifecycle
         "s2_rollup": fs.q_s2_rollup,                    # F19/F21 + A9
@@ -87,6 +88,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": dq.SQL_TOKENS,
         "cosine_topk": dq.SQL_COSINE,
         "window_time_bucket": dq.SQL_WINDOW_BUCKET,
+        "range_join": dq.SQL_RANGE_JOIN,
         "ngram_jaccard": dq.SQL_NGRAM_JACCARD,
         "lang_quality": dq.SQL_LANG_QUALITY,
     }

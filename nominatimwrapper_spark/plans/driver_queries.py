@@ -461,6 +461,39 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_range_join(spark, sf_dir):
+    """Interval (range) join — events matched into NON-uniform value bands
+    by BETWEEN, the J-family operator Spark has no native equi-path for.
+    The interval side is tiny and broadcast, so the physical plan is a
+    BroadcastNestedLoopJoin over the streamed fact side — the correct
+    100 TB shape for a small interval dimension (never a cartesian
+    shuffle). Integer-only outputs (counts + id extremes) keep the
+    cross-engine hash float-free."""
+    e = _t(spark, sf_dir, "events")
+    b = spark.range(20).select(
+        F.col("id").alias("band"),
+        (F.col("id") * F.col("id") * 10.0).alias("lo"),
+        ((F.col("id") + 1) * (F.col("id") + 1) * 10.0).alias("hi"),
+    )
+    j = e.join(F.broadcast(b), (e.value >= b.lo) & (e.value < b.hi), "inner")
+    return j.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_eid"),
+        F.max("event_id").alias("max_eid"),
+    )
+
+
+SQL_RANGE_JOIN = """
+WITH bands AS (
+  SELECT i AS band, CAST(i*i*10 AS DOUBLE) AS lo, CAST((i+1)*(i+1)*10 AS DOUBLE) AS hi
+  FROM generate_series(0, 19) t(i)
+)
+SELECT band, count(*) AS n, min(event_id) AS min_eid, max(event_id) AS max_eid
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band
+"""
+
+
 def q_hex_rollup(spark, sf_dir):
     """A9 on the hexagonal tiling — axial coords + cube rounding as pure
     Column math, rollup per hex cell."""
