@@ -71,6 +71,7 @@ def main() -> None:
         "simhash_near_dups",
     ]
 
+    load_before = os.getloadavg()[0]
     timings: dict[str, float] = {}
     for name in headline:
         # steady-state timing: one untimed pass pays codegen compilation and
@@ -101,6 +102,10 @@ def main() -> None:
                 "flagship_big_pages_per_sec": round(
                     n_docs * rep_big / timings["geocode_flagship_big"], 1
                 ),
+                # the host is SHARED: compare against BENCH.md's idle-gated
+                # numbers only when these are ~0 / ~own-worker-count
+                "loadavg_before": round(load_before, 2),
+                "loadavg_end": round(os.getloadavg()[0], 2),
             }
         )
     )
