@@ -29,9 +29,7 @@ import os
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import s2
-from ..operators.geocode import build_gazetteer_index, cascade
-from ..operators.pages import pages_to_addresses
+from ..operators.geocode import build_gazetteer_index
 from ..sources.checkpoint import PartitionedCheckpointer
 from ..sources.pages_io import read_pages
 
@@ -46,39 +44,36 @@ def list_crawl_dates(pages_path: str) -> list[str]:
     )
 
 
-def partition_fingerprint(pages_path: str, part: str) -> str:
-    """Cheap input fingerprint: hash of (name, size) of every data file in
-    the partition dir — a changed/extended input invalidates just that
-    partition's checkpoint."""
-    pdir = os.path.join(pages_path, f"crawl_date={part}")
-    h = hashlib.sha256()
-    for f in sorted(os.listdir(pdir)):
-        fp = os.path.join(pdir, f)
+def _dir_files_digest(h, d: str) -> None:
+    for f in sorted(os.listdir(d)):
+        fp = os.path.join(d, f)
         h.update(f.encode())
-        h.update(str(os.path.getsize(fp)).encode())
+        if os.path.isfile(fp):
+            h.update(str(os.path.getsize(fp)).encode())
+
+
+def partition_fingerprint(pages_path: str, part: str, gazetteer_path: str) -> str:
+    """Cheap input fingerprint: hash of (name, size) of every data file in
+    the partition dir AND of the gazetteer — the gazetteer is an input to
+    the computation too, so a refreshed OSM extract invalidates every
+    partition's checkpoint instead of silently serving stale geocodes."""
+    h = hashlib.sha256()
+    _dir_files_digest(h, os.path.join(pages_path, f"crawl_date={part}"))
+    if os.path.isdir(gazetteer_path):
+        _dir_files_digest(h, gazetteer_path)
+    elif os.path.exists(gazetteer_path):
+        h.update(str(os.path.getsize(gazetteer_path)).encode())
     return h.hexdigest()[:16]
 
 
-def geocode_partition(
-    spark: SparkSession, pages_path: str, part: str, index
-) -> "F.DataFrame":
-    """One partition end-to-end: read (partition-pruned) -> extract ->
-    cascade -> S2 level-13 cells."""
+def geocode_partition(spark: SparkSession, pages_path: str, part: str, index):
+    """One partition end-to-end through the shared batch core: read
+    (partition-pruned) -> extract -> cascade -> S2 level-13 cells. Real
+    crawl input: recrawl dedup and the duplicate-key guard stay ON."""
+    from ..plans.flagship import geocode_and_tile
+
     pages = read_pages(spark, pages_path, date_from=part, date_to=part)
-    addrs = pages_to_addresses(pages)
-    res, _ = cascade(
-        addrs, index, with_rejected=False, with_extra_house_number=False
-    )
-    return res.withColumn(
-        "cell13", s2.s2_cell_udf(13)(F.col("lat"), F.col("lon"))
-    ).select(
-        "addr_key", "url", "method",
-        F.col("place_id").cast("long").alias("place_id"),
-        F.col("place_rank").cast("long").alias("place_rank"),
-        "cell13",
-        F.round(F.col("lat") * 1_000_000).cast("long").alias("lat_1e6"),
-        F.round(F.col("lon") * 1_000_000).cast("long").alias("lon_1e6"),
-    )
+    return geocode_and_tile(pages, index)
 
 
 def run_job(
@@ -100,7 +95,11 @@ def run_job(
     return ck.run(
         parts,
         compute=lambda p: geocode_partition(spark, pages_path, p, index),
-        input_fingerprint=lambda p: partition_fingerprint(pages_path, p),
+        input_fingerprint=lambda p: partition_fingerprint(
+            pages_path, p, gazetteer_path
+        ),
+        # the checkpointer hands this the WRITTEN parquet read back — a
+        # cheap columnar scan, never a re-execution of the geocode plan
         stats=lambda df: {
             "methods": {
                 r["method"]: r["n"]

@@ -73,9 +73,9 @@ USE_REAL_CODECS = False  # flip when PIL/librosa/av are available (JPEG/PNG/MP4 
 _NETPBM_MAGIC = (b"P5", b"P6")
 
 
-def _netpbm_header(payload: bytes) -> tuple[int, int, int, int] | None:
+def _netpbm_header(payload: bytes) -> tuple[int, int, int, int, int] | None:
     """Parse a binary netpbm (P5 gray / P6 rgb) header with whitespace and
-    ``#`` comments. Returns (width, height, channels, pixel_offset)."""
+    ``#`` comments. Returns (width, height, channels, maxval, pixel_offset)."""
     if payload[:2] not in _NETPBM_MAGIC:
         return None
     channels = 1 if payload[:2] == b"P5" else 3
@@ -97,16 +97,21 @@ def _netpbm_header(payload: bytes) -> tuple[int, int, int, int] | None:
             return None
     if len(vals) < 3:
         return None
-    return vals[0], vals[1], channels, pos + 1  # single whitespace after maxval
+    return vals[0], vals[1], channels, vals[2], pos + 1  # ws after maxval
 
 
 def _decode_wav(payload: bytes) -> tuple[int, int, int] | None:
-    """(sample_rate, duration_ms, n_pcm_frames) via the stdlib wave reader."""
+    """(sample_rate, duration_ms, n_pcm_frames) via the stdlib wave reader.
+    Untrusted crawl bytes: any malformation (including a sample_rate of 0,
+    which wave.open does not validate) degrades to None, never a raised
+    error out of a task."""
     try:
         with wave.open(io.BytesIO(payload)) as w:
             sr, nf = w.getframerate(), w.getnframes()
+            if sr <= 0 or nf < 0:
+                return None
             return sr, int(round(nf * 1000 / sr)), nf
-    except (wave.Error, EOFError, struct.error):
+    except (wave.Error, EOFError, struct.error, ValueError):
         return None
 
 
@@ -215,13 +220,22 @@ def audio_stats(media: DataFrame) -> DataFrame:
                     with wave.open(io.BytesIO(p)) as w:
                         if w.getsampwidth() != 2:
                             continue
-                        sr = w.getframerate()
-                        pcm = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
-                except (wave.Error, EOFError, struct.error):
+                        sr, nch = w.getframerate(), w.getnchannels()
+                        if sr <= 0 or nch <= 0:
+                            continue
+                        raw = w.readframes(w.getnframes())
+                    # truncated payloads: drop the ragged tail frame so
+                    # frombuffer/reshape never raise on untrusted bytes
+                    frame_bytes = 2 * nch
+                    raw = raw[: len(raw) // frame_bytes * frame_bytes]
+                    pcm = np.frombuffer(raw, dtype="<i2")
+                except (wave.Error, EOFError, struct.error, ValueError):
                     continue
                 if len(pcm) == 0:
                     continue
                 x = pcm.astype(np.float64) / 32768.0
+                if nch > 1:  # interleaved channels -> per-frame mono mix
+                    x = x.reshape(-1, nch).mean(axis=1)
                 ids.append(mid)
                 srs.append(sr)
                 ns.append(len(x))
@@ -261,7 +275,12 @@ def image_stats(media: DataFrame) -> DataFrame:
                 hdr = _netpbm_header(p)
                 if hdr is None:
                     continue
-                w, h, ch, off = hdr
+                w, h, ch, maxval, off = hdr
+                # skip what we can't decode correctly instead of raising in
+                # the task: 2-byte samples (maxval>255), truncated rasters,
+                # degenerate dims — all possible in untrusted crawl bytes
+                if maxval > 255 or w <= 0 or h <= 0 or len(p) - off < w * h * ch:
+                    continue
                 px = np.frombuffer(p, dtype=np.uint8, count=w * h * ch, offset=off)
                 if ch == 3:
                     px = px.reshape(-1, 3).mean(axis=1)

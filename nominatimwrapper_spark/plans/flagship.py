@@ -130,6 +130,34 @@ def flagship_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _FLAGSHIP_CACHE[key]
 
 
+def geocode_and_tile(
+    pages: DataFrame,
+    index,
+    dedup_crawls: bool = True,
+    validate_unique: bool = True,
+    check_results: bool = True,
+) -> DataFrame:
+    """pages -> extract -> cascade -> S2 level-13 cells: the ONE shared
+    batch core behind flagship(), jobs/geocode_job.geocode_partition and
+    streaming/geocode_stream.geocode_micro_batch — a schema or flag change
+    lands in every entry point at once."""
+    addrs = pages_to_addresses(pages, dedup_crawls=dedup_crawls)
+    res, _ = cascade(
+        addrs, index, check_results=check_results, with_rejected=False,
+        validate_unique=validate_unique, with_extra_house_number=False,
+    )
+    return res.withColumn(
+        "cell13", s2.s2_cell_udf(13)(F.col("lat"), F.col("lon"))
+    ).select(
+        "addr_key", "url", "method",
+        F.col("place_id").cast("long").alias("place_id"),
+        F.col("place_rank").cast("long").alias("place_rank"),
+        "cell13",
+        F.round(F.col("lat") * 1_000_000).cast("long").alias("lat_1e6"),
+        F.round(F.col("lon") * 1_000_000).cast("long").alias("lon_1e6"),
+    )
+
+
 def flagship(
     spark: SparkSession, sf_dir: str, check_results: bool = True, replicate: int = 1
 ) -> DataFrame:
@@ -141,23 +169,11 @@ def flagship(
     # I/O tax on a no-op. Real crawl inputs (recrawls present) pay it; the
     # operator is oracle-checked (asof_latest) and exercised on the synth
     # dup-bearing pages table in tests.
-    addrs = pages_to_addresses(pages, dedup_crawls=False)
-    index = gazetteer_index(spark)
-    # addr_key = url#pos is unique by construction -> skip the guard shuffle;
-    # extraHouseNumber off: the flagship schema doesn't surface those fields
-    res, _ = cascade(
-        addrs, index, check_results=check_results, with_rejected=False,
-        validate_unique=False, with_extra_house_number=False,
-    )
-    return res.withColumn(
-        "cell13", s2.s2_cell_udf(13)(F.col("lat"), F.col("lon"))
-    ).select(
-        "addr_key", "url", "method",
-        F.col("place_id").cast("long").alias("place_id"),
-        F.col("place_rank").cast("long").alias("place_rank"),
-        "cell13",
-        F.round(F.col("lat") * 1_000_000).cast("long").alias("lat_1e6"),
-        F.round(F.col("lon") * 1_000_000).cast("long").alias("lon_1e6"),
+    # validate_unique=False: addr_key = url#pos is unique by construction ->
+    # skip the guard shuffle.
+    return geocode_and_tile(
+        pages, gazetteer_index(spark),
+        dedup_crawls=False, validate_unique=False, check_results=check_results,
     )
 
 

@@ -23,19 +23,30 @@ def get_spark(
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's default conf.
 
-    ``master=None`` defers to spark-submit / an existing session, which is
-    what production ``spark-submit --py-files`` runs want; tests pass
+    ``master=None`` defers to spark-submit / an existing session: when
+    neither the caller nor $SPARK_MASTER names a master, ``.master()`` is
+    NOT set at all, so a ``spark-submit --master yarn`` submit conf wins
+    (calling ``.master()`` here would silently override it back to
+    local). Standalone ``python`` runs fall back to local[N]. Tests pass
     ``local[N]`` explicitly.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    # spark-submit launches the driver JVM first and hands python a gateway;
+    # its presence means a submit conf (--master et al.) exists and must win
+    submitted = (
+        "PYSPARK_GATEWAY_PORT" in os.environ or "PYSPARK_SUBMIT_ARGS" in os.environ
+    )
     if master is None:
-        master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+        master = os.environ.get("SPARK_MASTER")
+        if master is None and not submitted:
+            master = f"local[{cpus}]"  # plain `python` run, no submit conf
     if shuffle_partitions is None:
-        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else cpus
+        m = master or ""
+        n = m[m.find("[") + 1 : m.find("]")] if "[" in m else cpus
         shuffle_partitions = (os.cpu_count() or 8) if n == "*" else int(n)
 
     builder = (
-        SparkSession.builder.master(master)
+        SparkSession.builder
         .appName(app_name)
         # runtime re-planning: broadcast-join conversion, skew-join splitting,
         # partition coalescing — all load-bearing at 100 TB
@@ -57,6 +68,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if master:
+        builder = builder.master(master)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

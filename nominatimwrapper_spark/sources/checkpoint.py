@@ -73,7 +73,11 @@ class PartitionedCheckpointer:
             df = compute(part).withColumn("checkpoint_part", F.lit(part))
             pdir = self._part_dir(part)
             df.write.mode("overwrite").parquet(os.path.join(pdir, "data"))
-            n_out = df.sparkSession.read.parquet(os.path.join(pdir, "data")).count()
+            # row count AND the stats callback below both read the WRITTEN
+            # parquet back — one cheap columnar scan each; re-using the lazy
+            # compute() plan would re-execute the whole partition job
+            back = df.sparkSession.read.parquet(os.path.join(pdir, "data"))
+            n_out = back.count()
 
             manifest = {
                 "partition": part,
@@ -85,7 +89,7 @@ class PartitionedCheckpointer:
                 "resumed": False,
             }
             if stats:
-                manifest["stats"] = stats(df)
+                manifest["stats"] = stats(back)
             tmp = os.path.join(pdir, MANIFEST + ".tmp")
             with open(tmp, "w") as f:
                 json.dump(manifest, f)

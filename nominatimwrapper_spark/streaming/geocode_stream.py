@@ -7,13 +7,14 @@ inside a single logical plan — so the stream reuses it per micro-batch via
 ``foreachBatch``, Spark's canonical pattern for lifting batch logic into a
 stream. What the stream layer adds on top of the batch engine:
 
-- exactly-once sink semantics through the streaming checkpointLocation
-  (a restarted query does NOT re-geocode micro-batches it already
-  committed — the resume analog of the reference's per-chunk loop,
-  utils.py:1195-1279, for a continuously arriving crawl);
+- exactly-once sink semantics: the streaming checkpointLocation skips
+  micro-batches already committed (the resume analog of the reference's
+  per-chunk loop, utils.py:1195-1279), and the sink itself is IDEMPOTENT
+  — output is partitioned by epoch and written with dynamic partition
+  overwrite, so a replayed micro-batch (crash between data write and
+  commit log) rewrites its own partition instead of appending twice;
 - ``availableNow`` trigger for catch-up runs (drain everything present,
-  then stop — a crawl-backfill job shape);
-- per-micro-batch output partitioning by epoch so replays are auditable.
+  then stop — a crawl-backfill job shape).
 
 At cluster scale each micro-batch is one Iceberg/parquet file group; the
 batch cascade inside the closure broadcasts the same gazetteer index every
@@ -32,9 +33,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from ..functions import s2
-from ..operators.geocode import GazetteerIndex, cascade
-from ..operators.pages import pages_to_addresses
+from ..operators.geocode import GazetteerIndex
 
 PAGES_SCHEMA = StructType(
     [
@@ -48,28 +47,13 @@ PAGES_SCHEMA = StructType(
 
 
 def geocode_micro_batch(pages: DataFrame, index: GazetteerIndex) -> DataFrame:
-    """One micro-batch through the batch engine: extract -> cascade -> S2.
-    Identical to plans.flagship.flagship minus the page synthesis."""
-    addrs = pages_to_addresses(pages, dedup_crawls=False)
-    res, _ = cascade(
-        addrs,
-        index,
-        with_rejected=False,
-        validate_unique=False,
-        with_extra_house_number=False,
-    )
-    return res.withColumn(
-        "cell13", s2.s2_cell_udf(13)(F.col("lat"), F.col("lon"))
-    ).select(
-        "addr_key",
-        "url",
-        "method",
-        F.col("place_id").cast("long").alias("place_id"),
-        F.col("place_rank").cast("long").alias("place_rank"),
-        "cell13",
-        F.round(F.col("lat") * 1_000_000).cast("long").alias("lat_1e6"),
-        F.round(F.col("lon") * 1_000_000).cast("long").alias("lon_1e6"),
-    )
+    """One micro-batch through the shared batch core (extract -> cascade ->
+    S2). dedup_crawls=False: cross-micro-batch recrawl dedup is the
+    stateful operator's job (streaming/stateful.py), not a per-batch
+    window; validate_unique=False: addr_key embeds the page url + position."""
+    from ..plans.flagship import geocode_and_tile
+
+    return geocode_and_tile(pages, index, dedup_crawls=False, validate_unique=False)
 
 
 def geocode_pages_stream(
@@ -95,7 +79,16 @@ def geocode_pages_stream(
         out = geocode_micro_batch(pages, index).withColumn(
             "epoch", F.lit(epoch_id).cast("long")
         )
-        out.write.mode("append").parquet(out_dir)
+        # IDEMPOTENT sink: a blind append would duplicate rows when a
+        # micro-batch is replayed (crash between the data write and the
+        # streaming commit log). Dynamic partition overwrite keyed on the
+        # epoch makes the replay rewrite exactly its own partition.
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(out_dir)
+        )
 
     writer = stream.writeStream.foreachBatch(_one_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -22,8 +22,9 @@ def main() -> None:
     from nominatimwrapper_spark.session import get_spark
 
     extra = {}
-    if os.environ.get("SPARK_RDD_COMPRESS"):
-        extra["spark.rdd.compress"] = "true"
+    if os.environ.get("SPARK_RDD_NOCOMPRESS"):
+        # A/B hook: disable the engine-default lz4 block compression
+        extra["spark.rdd.compress"] = "false"
     spark = get_spark(master=f"local[{cpus}]", app_name=f"phase-{cpus}",
                       shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "128")),
                       extra_conf=extra)
