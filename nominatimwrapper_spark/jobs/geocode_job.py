@@ -25,13 +25,24 @@ from __future__ import annotations
 import argparse
 import hashlib
 import os
+import sys
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.geocode import build_gazetteer_index
-from ..sources.checkpoint import PartitionedCheckpointer
-from ..sources.pages_io import read_pages
+# spark-submit executes this file as __main__ with no package context, so
+# relative imports would die with "no known parent package". Absolute imports
+# + a repo-root sys.path bootstrap work under all three launch modes:
+# `spark-submit path/to/geocode_job.py`, `spark-submit --py-files pkg.zip`,
+# and `python -m nominatimwrapper_spark.jobs.geocode_job`.
+if __package__ in (None, ""):  # file run directly (spark-submit / python file.py)
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    )
+
+from nominatimwrapper_spark.operators.geocode import build_gazetteer_index
+from nominatimwrapper_spark.sources.checkpoint import PartitionedCheckpointer
+from nominatimwrapper_spark.sources.pages_io import read_pages
 
 
 def list_crawl_dates(pages_path: str) -> list[str]:
@@ -70,7 +81,7 @@ def geocode_partition(spark: SparkSession, pages_path: str, part: str, index):
     """One partition end-to-end through the shared batch core: read
     (partition-pruned) -> extract -> cascade -> S2 level-13 cells. Real
     crawl input: recrawl dedup and the duplicate-key guard stay ON."""
-    from ..plans.flagship import geocode_and_tile
+    from nominatimwrapper_spark.plans.flagship import geocode_and_tile
 
     pages = read_pages(spark, pages_path, date_from=part, date_to=part)
     return geocode_and_tile(pages, index)
@@ -118,7 +129,7 @@ def main() -> None:
     ap.add_argument("--date-to", default=None)
     args = ap.parse_args()
 
-    from ..session import get_spark
+    from nominatimwrapper_spark.session import get_spark
 
     spark = get_spark(master=None)  # defer to spark-submit
     manifests = run_job(

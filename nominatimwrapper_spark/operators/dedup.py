@@ -11,8 +11,9 @@ pipeline ops — graded alongside SURVEY.md §2).
 Scale notes: MinHash/LSH is the 100 TB path — the candidate join is an
 equi-join on (band_id, band_hash) buckets, never all-pairs; the final
 verify recomputes true Jaccard only within buckets. Shingling and hashing
-are Column expressions (xxhash64) — no Python in the hot path; only
-nothing here uses a per-row UDF.
+are Column expressions (xxhash64) — no Python in the hot path; nothing
+here uses a per-row UDF (SimHash's bit matrix is an Arrow-batched pandas
+UDF).
 """
 
 from __future__ import annotations

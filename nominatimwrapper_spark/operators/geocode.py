@@ -231,12 +231,23 @@ def _avg_row_bytes(df: DataFrame, sample_rows: int = 2000) -> int:
     """Average serialized row width from a small sample — JSON length is a
     (conservative, field-names-repeated) over-estimate of the broadcast
     relation's per-row cost."""
+    # TABLESAMPLE over the whole table, not limit() — limit reads only the
+    # first partition(s), which biases the estimate when row width correlates
+    # with write order (e.g. gazetteer sorted by place_rank)
     row = (
-        df.limit(sample_rows)
+        df.sample(fraction=0.01, seed=7)
+        .limit(sample_rows)
         .select(F.length(F.to_json(F.struct(*df.columns))).alias("_w"))
         .agg(F.avg("_w").alias("w"))
         .first()
     )
+    if row["w"] is None:  # tiny table: the 1% sample can be empty
+        row = (
+            df.limit(sample_rows)
+            .select(F.length(F.to_json(F.struct(*df.columns))).alias("_w"))
+            .agg(F.avg("_w").alias("w"))
+            .first()
+        )
     return int(row["w"] or 0) + 16  # + per-row object overhead
 
 
@@ -250,12 +261,19 @@ def _unique_queries(addr: DataFrame) -> DataFrame:
     reference utils.py:353-356. The same shuffle also counts how many input
     keys each distinct address carries (``_n_keys``): downstream control
     flow (matched-row counts, the everyone-matched short-circuit) then
-    never needs an extra pass over the fanned input."""
+    never needs an extra pass over the fanned input.
+
+    Representative fields: when two different field splits compose to the
+    same transformed_address (housenbr folded into street vs separate),
+    ONE representative's fields drive the low-rank retry for all keys of
+    that address. The reference's pre-lookup dropDuplicates is equally
+    arbitrary (utils.py:353-356); we use min() so the pick is at least
+    deterministic across runs/partitionings (documented parity edge)."""
     return (
         addr.select("transformed_address", "street", "housenbr", "postcode", "city", "country")
         .groupBy("transformed_address")
         .agg(
-            *[F.first(c).alias(c) for c in ("street", "housenbr", "postcode", "city", "country")],
+            *[F.min(c).alias(c) for c in ("street", "housenbr", "postcode", "city", "country")],
             F.count(F.lit(1)).alias("_n_keys"),
         )
         .withColumn("q_street_key", street_key_udf(F.col("street")))
@@ -572,6 +590,13 @@ def _process(
             "reject_reason", F.lit("tail")
         )
 
+    # Pin the SCORED unique frame, not just the dedup: downstream it is
+    # read by the retry guards, matched_tas (n_keep count + unmatched
+    # anti-join), and the fan-back join — without this the candidate-join +
+    # pandas-scoring pipeline re-executes for each of those actions. One
+    # row per distinct matched address, so materializing it is cheap.
+    keep_u = keep_u.localCheckpoint(eager=True)
+
     if with_retry:
         keep_u = _retry_low_rank_unique(keep_u, uq, index, check_results)
 
@@ -671,7 +696,11 @@ def _retry_low_rank_unique(
         on="transformed_address",
         how="left_anti",
     )
-    return kept.unionByName(improved_u, allowMissingColumns=True)
+    # re-pin after the splice: the union's retried side roots in a recursive
+    # _process fan join that would otherwise re-run per downstream action
+    return kept.unionByName(improved_u, allowMissingColumns=True).localCheckpoint(
+        eager=True
+    )
 
 
 # ---------------------------------------------------------------------------

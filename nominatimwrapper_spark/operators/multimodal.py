@@ -97,7 +97,12 @@ def _netpbm_header(payload: bytes) -> tuple[int, int, int, int, int] | None:
             return None
     if len(vals) < 3:
         return None
-    return vals[0], vals[1], channels, vals[2], pos + 1  # ws after maxval
+    # the spec requires EXACTLY one whitespace byte between maxval and the
+    # raster; accept any single ws char (\n, \r, space, \t) but verify it —
+    # a non-ws byte here means a malformed header, not an off-by-one raster
+    if not payload[pos : pos + 1].isspace():
+        return None
+    return vals[0], vals[1], channels, vals[2], pos + 1
 
 
 def _decode_wav(payload: bytes) -> tuple[int, int, int] | None:
@@ -278,8 +283,11 @@ def image_stats(media: DataFrame) -> DataFrame:
                 w, h, ch, maxval, off = hdr
                 # skip what we can't decode correctly instead of raising in
                 # the task: 2-byte samples (maxval>255), truncated rasters,
-                # degenerate dims — all possible in untrusted crawl bytes
-                if maxval > 255 or w <= 0 or h <= 0 or len(p) - off < w * h * ch:
+                # degenerate dims — all possible in untrusted crawl bytes.
+                # Exact length required: a \r\n after maxval (or trailing
+                # junk) would otherwise shift the raster read one byte and
+                # silently corrupt the stats
+                if maxval > 255 or w <= 0 or h <= 0 or len(p) - off != w * h * ch:
                     continue
                 px = np.frombuffer(p, dtype=np.uint8, count=w * h * ch, offset=off)
                 if ch == 3:

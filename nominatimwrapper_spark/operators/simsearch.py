@@ -149,16 +149,17 @@ def train_ivf_centroids(
 ) -> np.ndarray:
     """Spherical k-means centroids from a deterministic corpus sample.
 
-    The sample is a tiny sketch (id-hash modulus, reproducible regardless
-    of partitioning) and the Lloyd iterations run driver-side in numpy —
-    at 100 TB the index BUILD stays O(sample), only the one-matmul
-    assignment UDF touches the corpus. Returns (n_centroids, dim) unit
-    rows."""
-    n_total = vectors.count()
-    step = max(1, n_total // sample_rows)
+    The sample is a deterministic hash-ordered top-N (reproducible
+    regardless of partitioning) and the Lloyd iterations run driver-side
+    in numpy — at 100 TB the index BUILD stays O(sample) and costs
+    EXACTLY ONE corpus job: orderBy(hash).limit(N) compiles to
+    TakeOrderedAndProject (per-partition size-N heaps merged on the
+    driver — a single pass, never a full sort and never a count()).
+    Returns (n_centroids, dim) unit rows."""
     samp = (
-        vectors.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(step)) == 0)
-        .select(vec_col)
+        vectors.select(F.col(vec_col), F.xxhash64(F.col(id_col)).alias("_h"))
+        .orderBy("_h")
+        .limit(sample_rows)
         .toPandas()[vec_col]
     )
     m = np.stack([np.asarray(v, dtype=np.float64) for v in samp])
@@ -199,6 +200,7 @@ def cosine_topk_ivf(
     probe_id_col: str = "probe_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    max_probes: int = 100_000,
 ) -> DataFrame:
     """IVF-flat approximate top-k — the second scale path next to
     ``cosine_topk_lsh``. Corpus rows get one centroid id (inverted list);
@@ -218,7 +220,20 @@ def cosine_topk_ivf(
 
     # nprobe nearest centroids per probe: probes are the SMALL side —
     # compute driver-side in one matmul, explode to (probe, cid) pairs.
-    ppd = probes.select(F.col(probe_id_col), F.col(vec_col).alias("_pvec")).toPandas()
+    # The collect is guarded: limit(max_probes+1) bounds the transfer
+    # itself, so an unexpectedly large probe frame fails fast instead of
+    # OOMing the driver (large probe sets belong in cosine_topk_lsh,
+    # whose probe side stays distributed).
+    ppd = (
+        probes.select(F.col(probe_id_col), F.col(vec_col).alias("_pvec"))
+        .limit(max_probes + 1)
+        .toPandas()
+    )
+    if len(ppd) > max_probes:
+        raise ValueError(
+            f"cosine_topk_ivf: probe frame exceeds max_probes={max_probes}; "
+            "use cosine_topk_lsh for large probe sets or raise max_probes"
+        )
     pm = np.stack([np.asarray(x, dtype=np.float64) for x in ppd["_pvec"]])
     pm_n = pm / np.maximum(np.linalg.norm(pm, axis=1, keepdims=True), 1e-12)
     order = np.argsort(-(pm_n @ centroids.T), axis=1)[:, :nprobe]

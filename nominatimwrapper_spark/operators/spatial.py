@@ -99,6 +99,13 @@ def point_in_polygon_join(
     polygons: (poly_id, name, ring_xy, ring_offsets, bbox_*) per FIXTURES.md §4.
     Returns points columns + (poly_id, poly_name).
     """
+    # left mode joins results back onto the input; equality on double
+    # lat/lon is fragile and duplicate input rows would multiply, so key
+    # the join on a synthesized unique row id instead (inner mode never
+    # joins back — no id needed there)
+    if how != "inner":
+        points = points.withColumn("_pt_id", F.monotonically_increasing_id())
+
     cover = _cover_cells_udf(cells_per_degree)
     poly_cells = polygons.withColumn(
         "cell",
@@ -126,8 +133,10 @@ def point_in_polygon_join(
 
     if how == "inner":
         return hit
-    # left: keep unmatched points with null poly
-    return points.join(hit.select(points.columns + ["poly_id", "poly_name"]), on=points.columns, how="left")
+    # left: keep unmatched points with null poly, joined on the unique id
+    return points.join(
+        hit.select("_pt_id", "poly_id", "poly_name"), on="_pt_id", how="left"
+    ).drop("_pt_id")
 
 
 # ---------------------------------------------------------------------------

@@ -40,10 +40,19 @@ def get_spark(
         master = os.environ.get("SPARK_MASTER")
         if master is None and not submitted:
             master = f"local[{cpus}]"  # plain `python` run, no submit conf
-    if shuffle_partitions is None:
-        m = master or ""
+    if shuffle_partitions is None and master is not None:
+        # only size shuffles off the local core count when WE chose a local
+        # master. In the deferred-master path (spark-submit / SPARK_MASTER
+        # handled by the submit conf) the driver's cpu_count says nothing
+        # about executor cores — leave the conf unset so the cluster-level
+        # default / --conf spark.sql.shuffle.partitions wins, with an env
+        # escape hatch for images that want to pin it anyway.
+        m = master
         n = m[m.find("[") + 1 : m.find("]")] if "[" in m else cpus
         shuffle_partitions = (os.cpu_count() or 8) if n == "*" else int(n)
+    if shuffle_partitions is None:
+        env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        shuffle_partitions = int(env_sp) if env_sp else None
 
     builder = (
         SparkSession.builder
@@ -53,7 +62,6 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # lz4 on cached/checkpointed blocks: the cascade materializes the
         # input once per run and rescans it for dedup + fan-back; compressed
         # blocks trade per-core CPU (scales with executors) for block-store/
@@ -68,6 +76,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
     if master:
         builder = builder.master(master)
     for k, v in (extra_conf or {}).items():

@@ -325,6 +325,13 @@ def test_real_codecs_wav_and_netpbm(spark):
     assert abs(ist.loc[1, "mean_luma"] - exp_mu) < 1e-3
     assert 3 not in ist.index  # fake-codec image has no real pixels
 
+    # \r\n after maxval: per the netpbm spec exactly ONE whitespace byte
+    # separates maxval from the raster, so this payload's raster length is
+    # off by one — it must be SKIPPED (no silently shifted pixel read)
+    crlf = b"P6\n20 10\n255\r\n" + px.tobytes()
+    media_crlf = spark.createDataFrame([(9, "media://9", "image", crlf)], MEDIA_SCHEMA)
+    assert 9 not in image_stats(media_crlf).toPandas().media_id.values
+
     ast = audio_stats(media).toPandas().set_index("media_id")
     x = tone.astype(np.float64) / 32768.0
     assert abs(ast.loc[2, "rms"] - np.sqrt((x * x).mean())) < 1e-5

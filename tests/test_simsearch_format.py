@@ -73,6 +73,28 @@ def test_ivf_recall_vs_bruteforce(vectors, probes):
     assert (top1.cos_1e4 == 10000).all()
 
 
+def test_ivf_build_is_single_corpus_job(spark, vectors):
+    """The index build must cost exactly ONE Spark job over the corpus
+    (TakeOrderedAndProject sample) — no count() pre-pass, no second scan.
+    At 100 TB a stray extra pass is a full corpus read."""
+    sc = spark.sparkContext
+    sc.setJobGroup("ivf_build_probe", "count jobs in train_ivf_centroids")
+    try:
+        train_ivf_centroids(vectors, n_centroids=8, iters=2)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    jobs = sc.statusTracker().getJobIdsForGroup("ivf_build_probe")
+    assert len(jobs) == 1, f"IVF build ran {len(jobs)} corpus jobs, expected 1"
+
+
+def test_ivf_probe_guard(vectors, probes):
+    """An oversized probe frame fails fast (bounded limit+collect) instead
+    of OOMing the driver."""
+    with pytest.raises(ValueError, match="max_probes"):
+        cosine_topk_ivf(vectors, vectors.selectExpr("vec_id as probe_id", "embedding"),
+                        k=2, n_centroids=8, max_probes=10)
+
+
 def test_ivf_centroids_deterministic(vectors):
     a = train_ivf_centroids(vectors, n_centroids=16, iters=3)
     b = train_ivf_centroids(vectors, n_centroids=16, iters=3)

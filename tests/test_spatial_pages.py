@@ -123,6 +123,17 @@ def test_pip_edge_cases(spark):
     got = point_in_polygon_join(pts, polys).toPandas()
     assert set(got.pid) == {1, 5}  # 2 and 4 are in the hole, 3 outside
 
+    # left mode keys the join-back on a synthesized row id, NOT on the
+    # float lat/lon columns — duplicate input rows must keep their
+    # multiplicity (one output row each) and misses get null poly
+    dup_pts = pts.unionByName(pts.filter(F.col("pid") == 1))  # pid 1 twice
+    left = point_in_polygon_join(dup_pts, polys, how="left").toPandas()
+    assert len(left) == 6  # 5 inputs + 1 duplicate, no row multiplied/lost
+    assert "_pt_id" not in left.columns
+    assert (left[left.pid == 1].poly_id == 1).all() and len(left[left.pid == 1]) == 2
+    assert left[left.pid == 3].poly_id.isna().all()
+    assert left[left.pid == 5].poly_id.notna().all()  # float-edge point kept
+
 
 def test_knn_cells_matches_bruteforce(spark, world):
     gaz = spark.read.parquet(f"{world['_dir']}/gazetteer.parquet")
