@@ -1,0 +1,1030 @@
+# -*- coding: utf-8 -*-
+"""Uber-H3 bit-compatible cell indexing (geo -> cell), res 0..15.
+
+Implements ``latLngToCell`` from the PUBLIC H3 spec and Apache-2 reference
+implementation (h3geo.org: "H3 Index Bit Layout", "Coordinate systems",
+icosahedron orientation constants) — the same published-material route the
+S2 Hilbert tables took in functions/s2.py. Nothing here is a code copy:
+the algorithm is re-derived from the documented math (gnomonic projection
+onto the H3-oriented icosahedron, aperture-7 hex grid rounding, class
+II/III digit aggregation, base-cell canonical rotations).
+
+Seeded published constants (the ONLY recalled data):
+  * the 20 icosahedron face centers (lat/lng radians) and the class-II
+    i-axis azimuth per face — validated by icosahedral geometry
+    invariants (antipodal pairs, uniform inter-face angles) in tests;
+  * the 122 base cells' home (face, i, j, k) coordinates + the 12
+    pentagon flags (+ the published cwOffsetPent pairs as seeds, which
+    the solver below independently REPRODUCES — strong corroboration).
+
+DERIVED (solved, not recalled) data — embedded as literals at the bottom
+of this module and re-derived/asserted equal in tests/test_h3.py:
+  * ``_FACE_BC``: (face, i, j, k) -> base cell for every face coordinate
+    in {0..2}^3, matched geometrically against the 122 home-chart cell
+    centers (unambiguous: distortion < 0.09 rad vs 0.38 rad spacing).
+  * ``_FACE_ROT`` for hexagon cells: chained seam consistency — H3's
+    published tables make latLngToCell continuous across closest-face
+    routing seams, which pins each non-home chart's rotation against an
+    already-solved chart of the same cell (home = rot 0 by definition).
+  * ``_FACE_ROT`` + leading-K fix directions for pentagon cells: a
+    collision-freedom CSP — pentagon canonicalization is only
+    piecewise-rigid, so the tiling itself (every canonical index owns
+    one tight region) is the decisive observable; the solver enumerates
+    rotationxflag candidates per chart and keeps the unique
+    collision-free assignment (~3x discrimination margin).
+
+Validation (tests/test_h3.py):
+  * published test vectors (h3-py / h3-js docs examples);
+  * global tiling checksums: exactly 2 + 120*7^r distinct cells at res r
+    over a dense uniform sample, every cell's sample-point radius
+    bounded by the cell size (catches ANY wrong table entry: a bad
+    rotation or base cell fuses two far-apart regions into one index);
+  * pentagon digit law: no index in a pentagon base cell has leading
+    nonzero digit K (1);
+  * seam consistency: near-identical points straddling icosahedron face
+    boundaries produce identical indexes;
+  * embedded tables == a fresh derivation.
+
+Reference parity: replaces the planar-hex stand-in flagged by round-2
+review (F20); the reference repo itself has no H3, this is north-rule
+surface ("H3 res-9" named explicitly).
+
+Scale: the hot path is ``latlng_to_cell`` — pure vectorized numpy over
+Arrow batches (one trig pass + 15 integer-aggregation steps), no Python
+loop over rows, exported as a pandas UDF. Parent/rollup math is pure
+JVM-side Column bit arithmetic (and DuckDB-expressible, so rollups stay
+SQL-oracled).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+# ---------------------------------------------------------------------------
+# published orientation constants (h3geo.org / Apache-2 reference, faceijk)
+# ---------------------------------------------------------------------------
+
+# lat, lng in radians for each of the 20 icosahedron face centers
+FACE_CENTER_GEO = np.array([
+    [0.803582649718989942, 1.248397419617396099],    # 0
+    [1.307747883455638156, 2.536945009877921159],    # 1
+    [1.054751253523952054, -1.347517358900396623],   # 2
+    [0.600191595538186799, -0.450603909469755746],   # 3
+    [0.491715428198773866, 0.401988202911306943],    # 4
+    [0.172745327415618701, 1.678146885280433686],    # 5
+    [0.605929321571350690, 2.953923329812411617],    # 6
+    [0.427370518328979641, -1.888876200336285401],   # 7
+    [-0.079066118549212831, -0.733429513380867741],  # 8
+    [-0.230961644455383637, 0.506495587332349035],   # 9
+    [0.079066118549212831, 2.408163140208925497],    # 10
+    [0.230961644455383637, -2.635097066257444203],   # 11
+    [-0.172745327415618701, -1.463445768309359553],  # 12
+    [-0.605929321571350690, -0.187669323777381622],  # 13
+    [-0.427370518328979641, 1.252716453253569838],   # 14
+    [-0.600191595538186799, 2.690988744120037492],   # 15
+    [-0.491715428198773866, -2.739604450678486295],  # 16
+    [-0.803582649718989942, -1.893195233972397139],  # 17
+    [-1.307747883455638156, -0.604647643711872080],  # 18
+    [-1.054751253523952054, 1.794075294689396615],   # 19
+])
+
+# class-II i-axis azimuth (radians, clockwise from north) per face; the j
+# and k axes sit at exactly -2pi/3 steps, so only column 0 is seed data
+FACE_AXES_AZ_I = np.array([
+    5.619958268523939882,   # 0
+    5.760339081714187279,   # 1
+    0.780213654393430055,   # 2
+    0.430469363979999913,   # 3
+    6.130269123335111400,   # 4
+    2.692877706530642877,   # 5
+    2.982963003477243874,   # 6
+    3.532912002790141181,   # 7
+    3.494305004259568154,   # 8
+    3.003214169499538391,   # 9
+    5.930472956509811562,   # 10
+    0.138378484090254847,   # 11
+    0.448714947059150361,   # 12
+    0.158629650112549365,   # 13
+    5.891865957979238535,   # 14
+    2.711123289609793325,   # 15
+    3.294508837434268316,   # 16
+    3.804819692245439833,   # 17
+    3.664438879055192436,   # 18
+    2.361378999196363184,   # 19
+])
+
+# base cell -> home (face, i, j, k); published base-cell orientation data
+_BASE_CELL_HOME = [
+    (1, 1, 0, 0), (2, 1, 1, 0), (1, 0, 0, 0), (2, 1, 0, 0), (0, 2, 0, 0),
+    (1, 1, 1, 0), (1, 0, 0, 1), (2, 0, 0, 0), (0, 1, 0, 0), (2, 0, 1, 0),
+    (1, 0, 1, 0), (1, 0, 1, 1), (3, 1, 0, 0), (3, 1, 1, 0), (11, 2, 0, 0),
+    (4, 1, 0, 0), (0, 0, 0, 0), (6, 0, 1, 0), (0, 0, 0, 1), (2, 0, 1, 1),
+    (7, 0, 0, 1), (2, 0, 0, 1), (0, 1, 1, 0), (6, 0, 0, 1), (10, 2, 0, 0),
+    (6, 0, 0, 0), (3, 0, 0, 0), (11, 1, 0, 0), (4, 1, 1, 0), (3, 0, 1, 0),
+    (0, 0, 1, 1), (4, 0, 0, 0), (5, 0, 1, 0), (0, 0, 1, 0), (7, 0, 1, 0),
+    (11, 1, 1, 0), (7, 0, 0, 0), (10, 1, 0, 0), (12, 2, 0, 0), (6, 1, 0, 1),
+    (7, 1, 0, 1), (4, 0, 0, 1), (3, 0, 0, 1), (3, 0, 1, 1), (4, 0, 1, 0),
+    (6, 1, 0, 0), (11, 0, 0, 0), (8, 0, 0, 1), (5, 0, 0, 1), (14, 2, 0, 0),
+    (5, 0, 0, 0), (12, 1, 0, 0), (10, 1, 1, 0), (4, 0, 1, 1), (12, 1, 1, 0),
+    (7, 1, 0, 0), (11, 0, 1, 0), (10, 0, 0, 0), (13, 2, 0, 0), (10, 0, 0, 1),
+    (11, 0, 0, 1), (9, 0, 1, 0), (8, 0, 1, 0), (6, 2, 0, 0), (8, 0, 0, 0),
+    (9, 0, 0, 1), (14, 1, 0, 0), (5, 1, 0, 1), (16, 0, 1, 1), (8, 1, 0, 1),
+    (5, 1, 0, 0), (12, 0, 0, 0), (7, 2, 0, 0), (12, 0, 1, 0), (10, 0, 1, 0),
+    (9, 0, 0, 0), (13, 1, 0, 0), (16, 0, 0, 1), (15, 0, 1, 1), (15, 0, 1, 0),
+    (16, 0, 1, 0), (14, 1, 1, 0), (13, 1, 1, 0), (5, 2, 0, 0), (8, 1, 0, 0),
+    (14, 0, 0, 0), (9, 1, 0, 1), (14, 0, 0, 1), (17, 0, 0, 1), (12, 0, 0, 1),
+    (16, 0, 0, 0), (17, 0, 1, 1), (15, 0, 0, 1), (16, 1, 0, 1), (9, 1, 0, 0),
+    (15, 0, 0, 0), (13, 0, 0, 0), (8, 2, 0, 0), (13, 0, 1, 0), (17, 1, 0, 1),
+    (19, 0, 1, 0), (14, 0, 1, 0), (19, 0, 1, 1), (17, 0, 1, 0), (13, 0, 0, 1),
+    (17, 0, 0, 0), (16, 1, 0, 0), (9, 2, 0, 0), (15, 1, 0, 1), (15, 1, 0, 0),
+    (18, 0, 1, 1), (18, 0, 0, 1), (19, 0, 0, 1), (17, 1, 0, 0), (19, 0, 0, 0),
+    (18, 0, 1, 0), (18, 1, 0, 1), (19, 2, 0, 0), (19, 1, 0, 0), (18, 0, 0, 0),
+    (19, 1, 0, 1), (18, 1, 0, 0),
+]
+
+PENTAGON_BASE_CELLS = (4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117)
+
+# pentagon base cell -> the two faces whose chart is a CLOCKWISE offset of
+# the cell's canonical system (leading-K adjustment direction); the polar
+# pentagons (4, 117) have none — their five charts are all ccw offsets
+_PENT_CW_OFFSET_FACES = {
+    14: (2, 6), 24: (1, 5), 38: (3, 7), 49: (0, 9), 58: (4, 8),
+    63: (11, 15), 72: (12, 16), 83: (10, 19), 97: (13, 17), 107: (14, 18),
+    4: (), 117: (),
+}
+
+NUM_BASE_CELLS = 122
+MAX_RES = 15
+
+_SQRT7 = 2.6457513110645905905016157536392604257102
+_RES0_U_GNOMONIC = 0.38196601125010500003
+_AP7_ROT_RADS = 0.333473172251832115336090755351601070065900389
+_SIN60 = 0.8660254037844386467637231707529361834714
+
+# digit rotation maps: CENTER=0 K=1 J=2 JK=3 I=4 IK=5 IJ=6
+_ROT_CCW = np.array([0, 5, 3, 1, 6, 4, 2], dtype=np.int64)
+_ROT_CW = np.array([0, 3, 6, 2, 5, 1, 4], dtype=np.int64)
+
+# unit ijk -> digit ( (i<<2)|(j<<1)|k for unit coords )
+_UNIT_TO_DIGIT = np.full(8, -1, dtype=np.int64)
+for _d, (_i, _j, _k) in enumerate(
+    [(0, 0, 0), (0, 0, 1), (0, 1, 0), (0, 1, 1), (1, 0, 0), (1, 0, 1), (1, 1, 0)]
+):
+    _UNIT_TO_DIGIT[(_i << 2) | (_j << 1) | _k] = _d
+
+
+# ---------------------------------------------------------------------------
+# spherical helpers (vectorized)
+# ---------------------------------------------------------------------------
+
+
+def _geo_to_xyz(lat, lng):
+    clat = np.cos(lat)
+    return np.stack([clat * np.cos(lng), clat * np.sin(lng), np.sin(lat)], axis=-1)
+
+
+_FACE_XYZ = _geo_to_xyz(FACE_CENTER_GEO[:, 0], FACE_CENTER_GEO[:, 1])
+
+
+def _pos_angle(a):
+    return np.mod(a, 2.0 * np.pi)
+
+
+def _azimuth(lat1, lng1, lat2, lng2):
+    """Initial bearing from point 1 to point 2 (radians cw from north)."""
+    dl = lng2 - lng1
+    return np.arctan2(
+        np.cos(lat2) * np.sin(dl),
+        np.cos(lat1) * np.sin(lat2) - np.sin(lat1) * np.cos(lat2) * np.cos(dl),
+    )
+
+
+def _geo_az_distance(lat1, lng1, az, dist):
+    """Forward geodesic on the unit sphere."""
+    lat2 = np.arcsin(
+        np.sin(lat1) * np.cos(dist) + np.cos(lat1) * np.sin(dist) * np.cos(az)
+    )
+    lng2 = lng1 + np.arctan2(
+        np.sin(az) * np.sin(dist) * np.cos(lat1),
+        np.cos(dist) - np.sin(lat1) * np.sin(lat2),
+    )
+    return lat2, lng2
+
+
+# ---------------------------------------------------------------------------
+# gnomonic face projection
+# ---------------------------------------------------------------------------
+
+
+def _closest_face(xyz):
+    """Index of the nearest icosahedron face center for each unit vector."""
+    return np.argmax(xyz @ _FACE_XYZ.T, axis=-1)
+
+
+def _geo_to_hex2d(lat, lng, res, face=None):
+    """Project to the given (or closest) face's class-II/III hex plane at
+    ``res``; returns (face, x, y)."""
+    xyz = _geo_to_xyz(lat, lng)
+    if face is None:
+        face = _closest_face(xyz)
+    fc = FACE_CENTER_GEO[face]
+    cosd = np.clip(np.einsum("...i,...i->...", xyz, _FACE_XYZ[face]), -1.0, 1.0)
+    r = np.arccos(cosd)
+    az = _pos_angle(_azimuth(fc[..., 0], fc[..., 1], lat, lng))
+    theta = _pos_angle(FACE_AXES_AZ_I[face] - az)
+    if res % 2 == 1:  # class III
+        theta = _pos_angle(theta - _AP7_ROT_RADS)
+    rr = np.tan(r) / _RES0_U_GNOMONIC * _SQRT7 ** res
+    rr = np.where(r < 1e-16, 0.0, rr)
+    return face, rr * np.cos(theta), rr * np.sin(theta)
+
+
+def _hex2d_to_geo(x, y, face, res):
+    """Inverse projection: hex2d on ``face`` at ``res`` -> (lat, lng)."""
+    r = np.hypot(x, y)
+    theta = np.arctan2(y, x)
+    r = np.arctan(r * _RES0_U_GNOMONIC / _SQRT7 ** res)
+    if res % 2 == 1:
+        theta = _pos_angle(theta + _AP7_ROT_RADS)
+    az = _pos_angle(FACE_AXES_AZ_I[face] - theta)
+    fc = FACE_CENTER_GEO[face]
+    lat, lng = _geo_az_distance(fc[..., 0], fc[..., 1], az, r)
+    small = r < 1e-16
+    lat = np.where(small, fc[..., 0], lat)
+    lng = np.where(small, fc[..., 1], lng)
+    return lat, lng
+
+
+# ---------------------------------------------------------------------------
+# hex grid <-> ijk (vectorized ports of the published aperture-7 math)
+# ---------------------------------------------------------------------------
+
+
+def _ijk_normalize(i, j, k):
+    m = np.minimum(np.minimum(i, j), k)
+    return i - m, j - m, k - m
+
+
+def _hex2d_to_ijk(x, y):
+    """Round planar hex coordinates to the containing cell's ijk+ coords."""
+    a1, a2 = np.abs(x), np.abs(y)
+    x2 = a2 / _SIN60
+    x1 = a1 + x2 / 2.0
+    m1 = np.floor(x1).astype(np.int64)
+    m2 = np.floor(x2).astype(np.int64)
+    r1 = x1 - m1
+    r2 = x2 - m2
+
+    i = np.zeros_like(m1)
+    j = np.zeros_like(m2)
+
+    # the published rounding ladder, branch-free over the four r1 bands
+    b0 = r1 < 0.5
+    b00 = b0 & (r1 < 1.0 / 3.0)
+    b01 = b0 & ~b00
+    b1 = ~b0
+    b10 = b1 & (r1 < 2.0 / 3.0)
+    b11 = b1 & ~b10
+
+    # r1 < 1/3
+    j = np.where(b00, np.where(r2 < (1.0 + r1) / 2.0, m2, m2 + 1), j)
+    i = np.where(b00, m1, i)
+    # 1/3 <= r1 < 1/2
+    j = np.where(b01, np.where(r2 < (1.0 - r1), m2, m2 + 1), j)
+    i = np.where(b01, np.where(((1.0 - r1) <= r2) & (r2 < 2.0 * r1), m1 + 1, m1), i)
+    # 1/2 <= r1 < 2/3
+    j = np.where(b10, np.where(r2 < (1.0 - r1), m2, m2 + 1), j)
+    i = np.where(b10, np.where((2.0 * r1 - 1.0 < r2) & (r2 < 1.0 - r1), m1, m1 + 1), i)
+    # r1 >= 2/3
+    j = np.where(b11, np.where(r2 < r1 / 2.0, m2, m2 + 1), j)
+    i = np.where(b11, m1 + 1, i)
+
+    # fold across the axes for negative x / y
+    neg_x = x < 0.0
+    j_even = (j % 2) == 0
+    axis_i = np.where(j_even, j // 2, (j + 1) // 2)
+    diff = i - axis_i
+    i = np.where(neg_x, i - 2 * diff - np.where(j_even, 0, 1), i)
+    neg_y = y < 0.0
+    i = np.where(neg_y, i - (2 * j + 1) // 2, i)
+    j = np.where(neg_y, -j, j)
+
+    k = np.zeros_like(i)
+    return _ijk_normalize(i, j, k)
+
+
+def _ijk_to_hex2d(i, j, k):
+    ii = i - k
+    jj = j - k
+    return ii - 0.5 * jj, jj * _SIN60
+
+
+def _up_ap7(i, j, k, class_iii):
+    """Aggregate res-r ijk to its res-(r-1) containing cell (class II or
+    III variant). Values are integer/7 so any round-half rule is exact."""
+    ii = i - k
+    jj = j - k
+    if class_iii:  # ccw aperture step
+        ni = np.round((3.0 * ii - jj) / 7.0).astype(np.int64)
+        nj = np.round((ii + 2.0 * jj) / 7.0).astype(np.int64)
+    else:  # cw (reverse) aperture step
+        ni = np.round((2.0 * ii + jj) / 7.0).astype(np.int64)
+        nj = np.round((3.0 * jj - ii) / 7.0).astype(np.int64)
+    return _ijk_normalize(ni, nj, np.zeros_like(ni))
+
+
+def _down_ap7(i, j, k, class_iii):
+    """Express a res-(r-1) cell center in res-r ijk coordinates."""
+    if class_iii:  # ccw: iVec (3,0,1), jVec (1,3,0), kVec (0,1,3)
+        ni = 3 * i + 1 * j + 0 * k
+        nj = 0 * i + 3 * j + 1 * k
+        nk = 1 * i + 0 * j + 3 * k
+    else:  # cw: iVec (3,1,0), jVec (0,3,1), kVec (1,0,3)
+        ni = 3 * i + 0 * j + 1 * k
+        nj = 1 * i + 3 * j + 0 * k
+        nk = 0 * i + 1 * j + 3 * k
+    return _ijk_normalize(ni, nj, nk)
+
+
+# NOTE on class II/III orientation: _up_ap7(class_iii=False) pairs with
+# _down_ap7(class_iii=False) as the CW-aperture step and the class_iii=True
+# variants as CCW; _faceijk digit aggregation below picks the variant per
+# resolution parity exactly as the published algorithm does.
+
+
+# ---------------------------------------------------------------------------
+# derived orientation table: (face, i, j, k) -> (base cell, ccw rotations)
+# ---------------------------------------------------------------------------
+
+
+def _base_cell_centers():
+    """(lat, lng) of each base cell from its home face coordinates."""
+    lats = np.empty(NUM_BASE_CELLS)
+    lngs = np.empty(NUM_BASE_CELLS)
+    for c, (f, i, j, k) in enumerate(_BASE_CELL_HOME):
+        x, y = _ijk_to_hex2d(np.int64(i), np.int64(j), np.int64(k))
+        lat, lng = _hex2d_to_geo(np.float64(x), np.float64(y), f, 0)
+        lats[c], lngs[c] = float(lat), float(lng)
+    return lats, lngs
+
+
+_IS_PENT = np.zeros(NUM_BASE_CELLS, dtype=bool)
+_IS_PENT[list(PENTAGON_BASE_CELLS)] = True
+
+_CW_OFFSET = np.zeros((NUM_BASE_CELLS, 20), dtype=bool)
+for _c, _faces in _PENT_CW_OFFSET_FACES.items():
+    for _f in _faces:
+        _CW_OFFSET[_c, _f] = True
+
+
+def _leading_nonzero(digits, res):
+    """First nonzero digit value per row of an (n, res) digit matrix
+    (0 when all digits are zero)."""
+    nz = digits != 0
+    first = np.argmax(nz, axis=1)
+    has = nz.any(axis=1)
+    return np.where(has, digits[np.arange(len(digits)), first], 0)
+
+
+def _rotate_digits(digits, mask, table):
+    digits[mask] = table[digits[mask]]
+    return digits
+
+
+def _rotate_pent60ccw(digits, mask, res):
+    """Pentagon ccw rotation with deleted-k-subsequence skip: rotate all
+    digits; if the leading nonzero digit became K, rotate once more."""
+    digits = _rotate_digits(digits, mask, _ROT_CCW)
+    lead = _leading_nonzero(digits, res)
+    again = mask & (lead == 1)
+    return _rotate_digits(digits, again, _ROT_CCW)
+
+
+def _digits_on_face(lat, lng, face, res):
+    """Digit extraction with the chart FORCED to ``face``: returns the
+    res-0 (i, j, k) the point aggregates to on that chart plus the (n,
+    res) digit matrix. Used by the hot path (with the closest face) and
+    by the orientation-table derivation (with both candidate charts)."""
+    face_arr = np.broadcast_to(np.asarray(face), np.shape(lat)).astype(np.int64)
+    _, x, y = _geo_to_hex2d(lat, lng, res, face=face_arr)
+    i, j, k = _hex2d_to_ijk(x, y)
+    digits = np.zeros((np.shape(lat)[0], res), dtype=np.int64)
+    for r in range(res, 0, -1):
+        li, lj, lk = i, j, k
+        class_iii = (r % 2) == 1
+        i, j, k = _up_ap7(i, j, k, class_iii)
+        ci, cj, ck = _down_ap7(i, j, k, class_iii)
+        di, dj, dk = _ijk_normalize(li - ci, lj - cj, lk - ck)
+        key = (di << 2) | (dj << 1) | dk
+        digits[:, r - 1] = np.where(
+            (key >= 0) & (key < 8), _UNIT_TO_DIGIT[np.clip(key, 0, 7)], -1
+        )
+    return (i, j, k), digits
+
+
+def _canonical_digits(digits, cell, face, rot, res, cw_override=None):
+    """Apply the pentagon leading-K fix + ``rot`` ccw rotations to a digit
+    matrix computed on ``face`` for base cell ``cell`` (the tail of the
+    published _faceIjkToH3), returning canonical digits. ``cw_override``
+    (solver use) replaces the _CW_OFFSET table lookup."""
+    digits = digits.copy()
+    n = len(digits)
+    pent = np.broadcast_to(_IS_PENT[cell], (n,))
+    lead = _leading_nonzero(digits, res)
+    fix = pent & (lead == 1)
+    if cw_override is None:
+        cw = fix & np.broadcast_to(_CW_OFFSET[cell, face], (n,))
+    else:
+        cw = fix & np.broadcast_to(np.asarray(cw_override), (n,))
+    digits = _rotate_digits(digits, cw, _ROT_CW)
+    digits = _rotate_digits(digits, fix & ~cw, _ROT_CCW)
+    rot_arr = np.broadcast_to(np.asarray(rot), (n,)).copy()
+    for _ in range(int(rot_arr.max()) if n else 0):
+        m = rot_arr > 0
+        digits = _rotate_pent60ccw(digits, m & pent, res)
+        digits = _rotate_digits(digits, m & ~pent, _ROT_CCW)
+        rot_arr = rot_arr - m.astype(np.int64)
+    return digits
+
+
+def _center_from_digits(digits, home_face, hi, hj, hk, res):
+    """Reconstruct each row's cell center geo position by walking the
+    canonical digits down from the base cell's home coordinates and
+    projecting through the home chart (no overage handling — good to the
+    gnomonic-distortion level, plenty for the rotation solver)."""
+    n = len(digits)
+    i = np.full(n, hi, dtype=np.int64)
+    j = np.full(n, hj, dtype=np.int64)
+    k = np.full(n, hk, dtype=np.int64)
+    for r in range(1, res + 1):
+        class_iii = (r % 2) == 1
+        i, j, k = _down_ap7(i, j, k, class_iii)
+        d = digits[:, r - 1]
+        du = np.array([0, 0, 0, 0, 1, 1, 1], dtype=np.int64)[d]
+        dv = np.array([0, 0, 1, 1, 0, 0, 1], dtype=np.int64)[d]
+        dw = np.array([0, 1, 0, 1, 0, 1, 0], dtype=np.int64)[d]
+        i, j, k = _ijk_normalize(i + du, j + dv, k + dw)
+    x, y = _ijk_to_hex2d(i, j, k)
+    return _hex2d_to_geo(x, y, home_face, res)
+
+
+def _derive_face_ijk_table(res: int = 2):
+    """Build _FACE_BC / _FACE_ROT / pentagon cw flags from the seeded
+    geometry — combinatorially, with no recalled orientation table.
+
+    Membership (_FACE_BC): each face coordinate ijk in {0..2}^3 names the
+    res-0 cell whose (distortion-displaced) chart grid point lies nearest
+    among the 122 home-chart cell centers; asserted unambiguous (the
+    displacement is < 0.09 rad vs ~0.38 rad cell spacing).
+
+    Orientation (_FACE_ROT + cw flags): H3's published tables make
+    latLngToCell CONTINUOUS across closest-face routing boundaries — two
+    points a hair apart on either side of a face seam, inside the same
+    coarse cell, must canonicalize to the same digits. That fixes every
+    non-home entry relative to an already-solved chart of the same cell
+    (home chart = rot 0 = the canonical orientation, by definition).
+    Entries are solved by chaining around each cell's charts: sample the
+    seam between chart f and a solved chart f', nudge +-eps to the two
+    routing sides, and keep the unique (rotation, cw-flag) combo whose
+    canonical res-2 digits agree across the seam for nearly all pairs
+    (pairs straddling a genuine fine-cell edge are the noise floor; the
+    pentagon deleted-subsequence skip makes some rotation counts
+    bit-identical — such combos are merged into equivalence classes and
+    min(r) of the winning class is taken, which cannot change any output
+    index). Pentagon leading-K pairs double as the cw-flag probe; charts
+    whose wedge never produces a leading K keep the seeded flag (the fix
+    never fires there, so the flag is dead code)."""
+    bc_lat, bc_lng = _base_cell_centers()
+    bc_xyz = _geo_to_xyz(bc_lat, bc_lng)
+
+    face_bc = np.full((20, 3, 3, 3), -1, dtype=np.int64)
+    face_rot = np.zeros((20, 3, 3, 3), dtype=np.int64)
+
+    # ---- pass 1: membership -------------------------------------------
+    # cell -> {face: (ijk, grid-point geo)} for every appearance
+    appearances: dict[int, dict[int, tuple]] = {}
+    for f in range(20):
+        for i0 in range(3):
+            for j0 in range(3):
+                for k0 in range(3):
+                    i, j, k = _ijk_normalize(
+                        np.int64(i0), np.int64(j0), np.int64(k0)
+                    )
+                    x, y = _ijk_to_hex2d(i, j, k)
+                    lat, lng = _hex2d_to_geo(np.float64(x), np.float64(y), f, 0)
+                    p = _geo_to_xyz(np.float64(lat), np.float64(lng))
+                    d = bc_xyz @ p
+                    order = np.argsort(-d)
+                    c = int(order[0])
+                    a0 = float(np.arccos(np.clip(d[c], -1, 1)))
+                    a1 = float(np.arccos(np.clip(d[order[1]], -1, 1)))
+                    assert a0 < 0.15 and a1 > a0 + 0.08, (
+                        f"ambiguous base-cell match face {f} ijk "
+                        f"{(i0, j0, k0)}: {c}@{a0:.3f} vs {order[1]}@{a1:.3f}"
+                    )
+                    face_bc[f, i0, j0, k0] = c
+                    appearances.setdefault(c, {})[f] = (
+                        (int(i), int(j), int(k)), float(lat), float(lng)
+                    )
+
+    # ---- pass 2: orientation by chained seam consistency --------------
+    cw_solved: dict[tuple[int, int], bool] = {}
+    dead: set[tuple[int, int]] = set()  # (face, cell) never routed to
+    pent_amb: dict[tuple[int, int], list[int]] = {}  # (cell, face) -> rots
+
+    def _seam_sides(f, ff, lat, lng, n=600):
+        """Pair samples straddling the f/ff routing seam near (lat,lng):
+        returns (lat_f, lng_f, lat_ff, lng_ff) arrays of valid pairs."""
+        Fa, Fb = _FACE_XYZ[f], _FACE_XYZ[ff]
+        u = Fa + Fb
+        u /= np.linalg.norm(u)
+        w = np.cross(Fa, Fb)
+        w /= np.linalg.norm(w)
+        gp = _geo_to_xyz(np.float64(lat), np.float64(lng))
+        # parametrize the bisector great circle, keep the stretch near the
+        # cell (and through the vertex for pentagons)
+        t = np.linspace(-0.7, 0.7, n)
+        seam = np.outer(np.cos(t), u) + np.outer(np.sin(t), w)
+        near = seam @ gp > np.cos(0.33)
+        seam = seam[near]
+        if not len(seam):
+            return None
+        d = Fa - Fb
+        d /= np.linalg.norm(d)
+        eps = 1.5e-3
+        pa = seam + eps * d
+        pa /= np.linalg.norm(pa, axis=1, keepdims=True)
+        pb = seam - eps * d
+        pb /= np.linalg.norm(pb, axis=1, keepdims=True)
+        out = []
+        for p in (pa, pb):
+            out.append(np.arcsin(np.clip(p[:, 2], -1, 1)))
+            out.append(np.arctan2(p[:, 1], p[:, 0]))
+        return tuple(out)
+
+    for c, faces in appearances.items():
+        fh, ih, jh, kh = _BASE_CELL_HOME[c]
+        assert fh in faces and faces[fh][0] == (ih, jh, kh), (
+            f"cell {c}: home appearance missing/mismatched"
+        )
+        if _IS_PENT[c]:
+            continue  # pentagons: solved wholesale by the tiling CSP below
+        solved = {fh: 0}
+        pending = [f for f in faces if f != fh]
+        guard = 0
+        while pending:
+            guard += 1
+            assert guard < 40, f"cell {c}: seam chaining stalled at {pending}"
+            progressed = False
+            for f in list(pending):
+                ijk_f, lat_f, lng_f = faces[f]
+                hit = None
+                for ff in list(solved):
+                    ijk_ff = faces[ff][0]
+                    # a cell's wedge on a secondary chart can be a tiny
+                    # sliver: retry the seam walk at increasing density
+                    for n_seam in (600, 8000):
+                        sides = _seam_sides(f, ff, lat_f, lng_f, n=n_seam)
+                        if sides is None:
+                            break
+                        alat, alng, blat, blng = sides
+                        aface = _closest_face(_geo_to_xyz(alat, alng))
+                        bface = _closest_face(_geo_to_xyz(blat, blng))
+                        (ai, aj, ak), adig = _digits_on_face(alat, alng, f, res)
+                        (bi, bj, bk), bdig = _digits_on_face(blat, blng, ff, res)
+                        good = (
+                            (aface == f) & (bface == ff)
+                            & (ai == ijk_f[0]) & (aj == ijk_f[1]) & (ak == ijk_f[2])
+                            & (bi == ijk_ff[0]) & (bj == ijk_ff[1]) & (bk == ijk_ff[2])
+                            & (adig >= 0).all(axis=1) & (bdig >= 0).all(axis=1)
+                        )
+                        # pairs must be rotation-SENSITIVE: charts that
+                        # meet only at a pentagon vertex yield pairs whose
+                        # res-2 digits are all zero (the center cell), and
+                        # every rotation scores alike there — useless as
+                        # evidence, so route through an adjacent chart
+                        sens = good & (adig != 0).any(axis=1)
+                        if int(sens.sum()) >= 12:
+                            hit = (ff, adig[sens], bdig[sens])
+                            break
+                    if hit is not None:
+                        break
+                if hit is None:
+                    # reachability probe: a chart appearance that no
+                    # closest-face-routed point ever uses (e.g. cell 16 on
+                    # face 1 — the cell hugs face 0's center and never
+                    # reaches the routing seam) is dead code for
+                    # latLngToCell; keep rot 0 and let the global tiling
+                    # tests confirm it is never exercised.
+                    rng_p = np.random.default_rng(1000 + 20 * c + f)
+                    az = rng_p.uniform(0, 2 * np.pi, 4000)
+                    dist = rng_p.uniform(0.0, 0.3, 4000)
+                    plat, plng = _geo_az_distance(
+                        np.float64(lat_f), np.float64(lng_f), az, dist
+                    )
+                    pface = _closest_face(_geo_to_xyz(plat, plng))
+                    (pi, pj, pk), _pd = _digits_on_face(plat, plng, f, 1)
+                    used = (
+                        (pface == f)
+                        & (pi == ijk_f[0]) & (pj == ijk_f[1]) & (pk == ijk_f[2])
+                    )
+                    if not used.any():
+                        dead.add((f, c))
+                        pending.remove(f)
+                        progressed = True
+                    continue
+                ff, adig, bdig = hit
+                pent = bool(_IS_PENT[c])
+                b_lead_k = (_leading_nonzero(bdig, res) == 1).any()
+                a_lead_k = (_leading_nonzero(adig, res) == 1).any()
+                b_flags = (
+                    [cw_solved[(c, ff)]]
+                    if (c, ff) in cw_solved
+                    else ([False, True] if (pent and b_lead_k) else [False])
+                )
+                a_flags = [False, True] if (pent and a_lead_k) else [False]
+                combos = []  # (score, r, fa, fb, canon_a_bytes)
+                for fb in b_flags:
+                    want = _canonical_digits(
+                        bdig, c, ff, solved[ff], res, cw_override=fb
+                    )
+                    for r in range(6):
+                        for fa in a_flags:
+                            can = _canonical_digits(
+                                adig, c, f, r, res, cw_override=fa
+                            )
+                            score = float((can == want).all(axis=1).mean())
+                            combos.append((score, r, fa, fb, can.tobytes()))
+                # Where a seam stretch coincides with the pentagon fold
+                # (the deleted sector) or cuts fine-cell corners, even the
+                # right combo tops out below 100%. Keep every combo within
+                # a band of the best; if the band holds more than one
+                # DISTINCT canonicalization (pentagon near-equivalences
+                # differ only on some leading-digit families), defer to
+                # the tiling arbiter. Equivalence is judged over the FULL
+                # res-2 digit space — the pent-rotation power depends only
+                # on the leading digit value, so res-2 exhaustion decides
+                # equivalence for every resolution.
+                best = max(s for s, *_ in combos)
+                assert best >= 0.55, (
+                    f"no consistent orientation for cell {c} chart {f} vs "
+                    f"{ff}: best seam agreement {best:.0%}"
+                )
+                band = [cb for cb in combos if cb[0] >= best - 0.15]
+                seqs = np.stack(
+                    np.meshgrid(np.arange(7), np.arange(7), indexing="ij"),
+                    axis=-1,
+                ).reshape(-1, 2)
+                full_classes: dict[bytes, int] = {}
+                for _s, wr, _fa, _fb, _o in band:
+                    key = _canonical_digits(
+                        seqs, c, f, wr, 2, cw_override=False
+                    ).tobytes()
+                    full_classes[key] = min(full_classes.get(key, wr), wr)
+                r = min(full_classes.values())
+                if len(full_classes) > 1:
+                    assert pent, (
+                        f"orientation ambiguous for hexagon cell {c} chart "
+                        f"{f} vs {ff}: {sorted(full_classes.values())}"
+                    )
+                    pent_amb[(c, f)] = sorted(full_classes.values())
+                i0, j0, k0 = ijk_f
+                # write the rotation to every raw coordinate that
+                # normalizes to this appearance
+                for ri in range(3):
+                    for rj in range(3):
+                        for rk in range(3):
+                            ni, nj, nk = _ijk_normalize(
+                                np.int64(ri), np.int64(rj), np.int64(rk)
+                            )
+                            if (int(ni), int(nj), int(nk)) == (i0, j0, k0) and (
+                                int(face_bc[f, ri, rj, rk]) == c
+                            ):
+                                face_rot[f, ri, rj, rk] = r
+                solved[f] = r
+                pending.remove(f)
+                progressed = True
+            assert progressed, (
+                f"cell {c}: no seam with enough pairs for charts {pending} "
+                f"(solved: {sorted(solved)})"
+            )
+    return face_bc, face_rot, pent_amb, dead
+
+
+
+
+def _solve_pentagon_tiling(res: int = 3, n_samples: int = 120_000):
+    """Solve every pentagon chart orientation (rotation + leading-K fix
+    direction) by COLLISION-freedom of the tiling.
+
+    Pentagon canonicalization is only piecewise-rigid (the pent-rotation
+    power depends on the leading digit value), so seam-equality evidence
+    can be satisfied by wrong rotations on the fold-adjacent charts. The
+    tiling is the decisive observable: under the correct orientations
+    every canonical index owns ONE tight region; a wrong rotation or fix
+    direction maps some wedge onto labels used elsewhere in the pentagon
+    (duplicate, far-apart regions — verified to discriminate with a ~3x
+    margin by construction tests).
+
+    Solved as a tiny CSP: per chart, candidates = 6 rotations x fix
+    flags (flags only where the chart's wedge produces leading-K digits);
+    a candidate is self-consistent if none of ITS OWN labels splits into
+    far-apart chunks, and pair-compatible with another chart's candidate
+    if every SHARED label's chunk centroids are adjacent. Backtracking
+    over the per-chart domains then yields the assignments; equivalent
+    candidates (identical label arrays — the deleted-subsequence orbit)
+    are merged, and the effective assignment is asserted unique.
+
+    Returns ({(cell, face): flag}, {(cell, face): rot}).
+    """
+    rng = np.random.default_rng(11)
+    solved_cw: dict[tuple[int, int], bool] = {}
+    solved_rot: dict[tuple[int, int], int] = {}
+    cellsize = 0.4 / _SQRT7 ** res
+    pw = 7 ** np.arange(res)
+    for c in PENTAGON_BASE_CELLS:
+        fh, ih, jh, kh = _BASE_CELL_HOME[c]
+        x, y = _ijk_to_hex2d(np.int64(ih), np.int64(jh), np.int64(kh))
+        lat, lng = _hex2d_to_geo(np.float64(x), np.float64(y), fh, 0)
+        az = rng.uniform(0, 2 * np.pi, n_samples)
+        dist = rng.uniform(0, 1, n_samples) ** 1.5 * 0.35
+        slat, slng = _geo_az_distance(lat, lng, az, dist)
+        sface = _closest_face(_geo_to_xyz(slat, slng))
+        xyz = _geo_to_xyz(slat, slng)
+
+        digs = np.full((n_samples, res), -1, dtype=np.int64)
+        keep = np.zeros(n_samples, dtype=bool)
+        for f in np.unique(sface):
+            m = sface == f
+            (fi, fj, fk), dg = _digits_on_face(slat[m], slng[m], int(f), res)
+            inb = (
+                (fi <= 2) & (fj <= 2) & (fk <= 2)
+                & (_FACE_BC[f, np.clip(fi, 0, 2), np.clip(fj, 0, 2),
+                            np.clip(fk, 0, 2)] == c)
+            )
+            digs[np.where(m)[0][inb]] = dg[inb]
+            keep[np.where(m)[0][inb]] = True
+        keep &= (digs >= 0).all(axis=1)
+        idx = np.where(keep)[0]
+        sf = sface[idx]
+        dg = digs[idx]
+        pz = xyz[idx]
+        lead = _leading_nonzero(dg, res)
+        k_charts = set(int(v) for v in np.unique(sf[lead == 1]))
+        faces_here = [int(v) for v in np.unique(sf)]
+
+        # per-chart candidates with per-label chunk stats
+        def chunk_stats(labels, pts):
+            stats = {}
+            for lb in np.unique(labels):
+                m = labels == lb
+                if int(m.sum()) < 3:
+                    continue  # noise chunk
+                cen = pts[m].mean(axis=0)
+                cen /= np.linalg.norm(cen)
+                rmax = float(
+                    np.sqrt(np.maximum(2 - 2 * (pts[m] @ cen), 0)).max()
+                )
+                stats[int(lb)] = (cen, rmax)
+            return stats
+
+        domains: dict[int, list] = {}  # f -> [(r, fl, labels, stats)]
+        for f in faces_here:
+            m = sf == f
+            cands = (
+                [(0, False)] if f == fh
+                else [
+                    (r, fl)
+                    for r in range(6)
+                    for fl in ([False, True] if f in k_charts else [False])
+                ]
+            )
+            dom = []
+            for r, fl in cands:
+                can = _canonical_digits(dg[m], c, f, r, res, cw_override=fl)
+                labels = (can * pw).sum(axis=1)
+                stats = chunk_stats(labels, pz[m])
+                # self-consistency: no label of this chart alone may span
+                # far-apart regions (piecewise lead-families colliding)
+                if any(rm > 1.4 * cellsize for _cen, rm in stats.values()):
+                    continue
+                dom.append((r, fl, labels, stats))
+            assert dom, f"pentagon {c} chart {f}: no self-consistent candidate"
+            domains[f] = dom
+
+        def compatible(sa, sb):
+            shared = set(sa) & set(sb)
+            for lb in shared:
+                ca, _ra = sa[lb]
+                cb, _rb = sb[lb]
+                d = float(np.sqrt(max(2 - 2 * float(ca @ cb), 0)))
+                if d > 1.8 * cellsize:
+                    return False
+            return True
+
+        # arc-consistency then exhaustive search over the pruned domains
+        order = sorted(faces_here, key=lambda f: (f != fh, f))
+        assigns: list[dict[int, tuple[int, bool]]] = []
+
+        def backtrack(n, chosen):
+            if n == len(order):
+                assigns.append(dict(chosen))
+                return
+            f = order[n]
+            for r, fl, labels, stats in domains[f]:
+                ok = True
+                for f2, (r2, fl2, labels2, stats2) in chosen.items():
+                    if not compatible(stats, stats2):
+                        ok = False
+                        break
+                if ok:
+                    chosen[f] = (r, fl, labels, stats)
+                    backtrack(n + 1, chosen)
+                    del chosen[f]
+
+        backtrack(0, {})
+        assert assigns, f"pentagon {c}: no collision-free orientation"
+        # merge orbit-equivalent assignments: identical label arrays per
+        # chart => identical output indexes
+        sigs = set()
+        for a in assigns:
+            sigs.add(tuple(a[f][2].tobytes() for f in order))
+        assert len(sigs) == 1, (
+            f"pentagon {c}: orientation not unique — "
+            f"{[{f: (a[f][0], a[f][1]) for f in order} for a in assigns[:4]]}"
+        )
+        pick = assigns[0]
+        for f in faces_here:
+            r, fl, _labels, _stats = pick[f]
+            if f != fh:
+                solved_rot[(c, f)] = min(
+                    a[f][0] for a in assigns
+                )  # min of the equivalent orbit, deterministic
+            if f in k_charts:
+                flags = {a[f][1] for a in assigns}
+                assert len(flags) == 1, (
+                    f"pentagon {c} chart {f}: cw flag ambiguous"
+                )
+                solved_cw[(c, f)] = flags.pop()
+    return solved_cw, solved_rot
+
+
+def derive_tables():
+    """Run the full geometric derivation (seconds of numpy): returns
+    (face_bc, face_rot, cw_offset, dead) exactly as the embedded tables
+    were produced. tests/test_h3.py re-derives and asserts equality with
+    the literals below, so the fast path can never silently drift."""
+    face_bc, face_rot, _amb, dead = _derive_face_ijk_table()
+    # make the tables visible to the pentagon solver's production path
+    global _FACE_BC, _FACE_ROT
+    saved = _FACE_BC, _FACE_ROT
+    _FACE_BC, _FACE_ROT = face_bc, face_rot
+    try:
+        cw_solved, pent_rot = _solve_pentagon_tiling()
+    finally:
+        _FACE_BC, _FACE_ROT = saved
+    for (c, f), r in pent_rot.items():
+        for ri in range(3):
+            for rj in range(3):
+                for rk in range(3):
+                    if int(face_bc[f, ri, rj, rk]) == c:
+                        face_rot[f, ri, rj, rk] = r
+    cw = np.zeros((NUM_BASE_CELLS, 20), dtype=bool)
+    for c, faces in _PENT_CW_OFFSET_FACES.items():
+        for f in faces:
+            cw[c, f] = True
+    for (c, f), flag in cw_solved.items():
+        cw[c, f] = flag
+    return face_bc, face_rot, cw, dead
+
+
+# ---------------------------------------------------------------------------
+# embedded derived tables (generated by derive_tables(); verified against a
+# fresh derivation in tests/test_h3.py — embedding keeps worker-side module
+# import at microseconds instead of seconds)
+# ---------------------------------------------------------------------------
+
+_EMB_FACE_BC = "EBIYIR4gMTAyCAUKFhASKSEeBAACDwgFHxYQAgYOCgsRGBcZAAEJBQIGEgoLBAMHCAABEAUCBxUmCRMiDhQkAw0dAQcVBgkTBAwaAAMNAgEHGio6HSs+Ji9ADBwsDRoqFR0rBA8fAwwcBw0aHykxLDU9OkFLDxYhHB8pKiw1BAgQDA8WGhwfMjAxIB4hGBIQRkNCNDIwJSAeU1dVSkZDOTQyGRcYEQsKDgYCLSclIxkXGxELPzs5OC0nLiMZJBQOIhMJJhUHNygbNiQUMyITSDwuSTcoRzYkQC8mPisdOioaVEUzUkAvTD4rYVlHYlRFYFJAS0E6PTUsMSkfXlZMUUtBQj01a2hgZV5WVVFLOTs/Sk5PU1xfJSctNDk7RkpOGBcZICUnMjQ5LjxIOERQP01aGyg3Iy48LThEDhQkERsoGSMuR1lhSVtnSFhpM0VUNkdZN0lbJi9AIjNFJDZHYGhrYm5zYW93TFZeUmBoVGJuOkFLPkxWQFJgVVdTZWZka3ByQkNGUVVXXmVmMTAyPUJDS1FVX1xTT05KPzs5bWxkXV9cTU9OdXZyam1sWl1fWk0/UEQ4SDwual1PY1pNWFBEdW1fcWpdaWNaaVhIZ1tJYVlHcWNQdGlYb2dbdWpaeXFjd3Rpd29hc25ia2hgeXRneHdvcHNudXFpdnl0cnh3cnBrZGZlU1dVdnhzbHJwXGRmdXl3bXZ4X2xy"
+_EMB_FACE_ROT = "AAAAAAADAQMAAAUFAAAAAQAAAAUAAQAFAAAAAAAAAAADAQMAAAUFAAAAAQAAAQUAAQAFAAAAAAAAAAADAQMAAAUFAAAAAQAAAgUAAQAFAAAAAAAAAAADAQMAAAUFAAAAAQAAAwUAAQAFAAAAAAAAAAADAQMAAAUFAAAAAQAABAUAAQAFAAAAAAADAAMDAwMAAAADAwAAAwADAAMAAwAAAAMAAAADAAMDAwMAAAADAwAAAwADAAMAAwAAAAMAAAADAAMDAwMAAAADAwAAAwADAAMAAwAAAAMAAAADAAMDAwMAAAADAwAAAwADAAMAAwAAAAMAAAADAAMDAwMAAAADAwAAAwADAAMAAwAAAAMAAAADAAMDAwMAAAMDAAAAAwADAAMAAwADAAAAAAADAAMDAwMAAAMDAAAAAwADAAMAAwADAAAAAAADAAMDAwMAAAMDAAAAAwADAAMAAwADAAAAAAADAAMDAwMAAAMDAAAAAwADAAMAAwADAAAAAAADAAMDAwMAAAMDAAAAAwADAAMAAwADAAAAAAAAAAADAQMAAAAFAQAAAQAABAUAAQAAAAEAAAAAAAADAQMAAAAFAQAAAQAAAwUAAQAAAAEAAAAAAAADAQMAAAAFAQAAAQAAAgUAAQAAAAEAAAAAAAADAQMAAAAFAQAAAQAAAQUAAQAAAAEAAAAAAAADAQMAAAAFAQAAAQAAAAUAAQAAAAEA"
+_EMB_CW = [(4, 0, 0), (4, 1, 0), (4, 2, 0), (4, 3, 0), (4, 4, 0), (14, 2, 1), (14, 6, 1), (14, 11, 0), (24, 1, 1), (24, 5, 1), (24, 10, 0), (38, 3, 1), (38, 7, 1), (38, 12, 0), (49, 0, 1), (49, 9, 1), (49, 14, 0), (58, 4, 1), (58, 8, 1), (58, 13, 0), (63, 6, 0), (63, 11, 1), (63, 15, 1), (72, 7, 0), (72, 12, 1), (72, 16, 1), (83, 5, 0), (83, 10, 1), (83, 19, 1), (97, 8, 0), (97, 13, 1), (97, 17, 1), (107, 9, 0), (107, 14, 1), (107, 18, 1), (117, 15, 0), (117, 16, 0), (117, 17, 0), (117, 18, 0), (117, 19, 0)]
+_EMB_DEAD = [(0, 2), (0, 31), (0, 50), (1, 7), (1, 16), (1, 25), (2, 2), (2, 26), (2, 36), (3, 7), (3, 31), (3, 64), (4, 16), (4, 26), (4, 75), (5, 16), (5, 57), (5, 85), (6, 2), (6, 46), (6, 57), (7, 7), (7, 46), (7, 71), (8, 26), (8, 71), (8, 96), (9, 31), (9, 85), (9, 96), (10, 25), (10, 50), (10, 95), (11, 25), (11, 36), (11, 90), (12, 36), (12, 64), (12, 105), (13, 64), (13, 75), (13, 119), (14, 50), (14, 75), (14, 114), (15, 57), (15, 90), (15, 114), (16, 46), (16, 95), (16, 105), (17, 71), (17, 90), (17, 119), (18, 96), (18, 105), (18, 114), (19, 85), (19, 95), (19, 119)]
+
+import base64 as _b64
+
+_FACE_BC = np.frombuffer(
+    _b64.b64decode(_EMB_FACE_BC), dtype=np.uint8
+).astype(np.int64).reshape(20, 3, 3, 3)
+_FACE_ROT = np.frombuffer(
+    _b64.b64decode(_EMB_FACE_ROT), dtype=np.uint8
+).astype(np.int64).reshape(20, 3, 3, 3)
+for _c, _f, _v in _EMB_CW:
+    _CW_OFFSET[_c, _f] = bool(_v)
+_DEAD_ENTRIES = {(f, c) for f, c in _EMB_DEAD}
+
+
+# ---------------------------------------------------------------------------
+# index assembly
+# ---------------------------------------------------------------------------
+
+
+def latlng_to_cell(lat_deg, lng_deg, res: int) -> np.ndarray:
+    """Vectorized geoToH3: degrees lat/lng arrays -> uint64 H3 indexes."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"resolution {res} out of range 0..{MAX_RES}")
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lng = np.radians(np.asarray(lng_deg, dtype=np.float64))
+    n = lat.shape[0]
+
+    face = _closest_face(_geo_to_xyz(lat, lng))
+    (i, j, k), digits = _digits_on_face(lat, lng, face, res)
+
+    ok = (i <= 2) & (j <= 2) & (k <= 2) & (digits >= 0).all(axis=1)
+    ii = np.clip(i, 0, 2)
+    jj = np.clip(j, 0, 2)
+    kk = np.clip(k, 0, 2)
+    bc = _FACE_BC[face, ii, jj, kk]
+    rot = _FACE_ROT[face, ii, jj, kk]
+
+    if res > 0:
+        digits = _canonical_digits(digits, bc, face, rot, res)
+
+    h = np.full(n, np.uint64(1) << np.uint64(59), dtype=np.uint64)
+    h |= np.uint64(res) << np.uint64(52)
+    h |= bc.astype(np.uint64) << np.uint64(45)
+    fill = np.uint64((1 << 45) - 1)
+    for r in range(1, res + 1):
+        shift = np.uint64((MAX_RES - r) * 3)
+        h |= digits[:, r - 1].astype(np.uint64) << shift
+        fill &= ~np.uint64(0x7 << int(shift))
+    h |= fill
+    return np.where(ok, h, np.uint64(0))
+
+
+# ---------------------------------------------------------------------------
+# Spark surface
+# ---------------------------------------------------------------------------
+
+
+def h3_cell_col(lat_col: Column, lng_col: Column, res: int = 9) -> Column:
+    """H3 cell index as a signed long Column (valid indexes are < 2^63)."""
+
+    @pandas_udf(LongType())
+    def _cell(lat: pd.Series, lng: pd.Series) -> pd.Series:
+        la = lat.to_numpy(dtype=np.float64, na_value=np.nan)
+        lo = lng.to_numpy(dtype=np.float64, na_value=np.nan)
+        bad = np.isnan(la) | np.isnan(lo)
+        out = latlng_to_cell(np.where(bad, 0.0, la), np.where(bad, 0.0, lo), res)
+        res_s = pd.Series(out.astype(np.int64))
+        res_s[bad] = None
+        return res_s
+
+    return _cell(lat_col, lng_col)
+
+
+def h3_parent_col(cell_col: Column, parent_res: int) -> Column:
+    """Parent cell at ``parent_res`` — pure JVM bit math, no UDF, and the
+    identical expression runs in DuckDB for the rollup oracles:
+
+        (cell & ~(15::BIGINT << 52)) | (pres << 52) | ones-below-pres
+    """
+    pres = F.lit(parent_res << 52).cast("long")
+    fill = F.lit((1 << ((MAX_RES - parent_res) * 3)) - 1).cast("long")
+    return (
+        cell_col.bitwiseAND(F.lit(~(0xF << 52)).cast("long"))
+        .bitwiseOR(pres)
+        .bitwiseOR(fill)
+    )
+
+
+def h3_parent_sql(cell_expr: str, parent_res: int) -> str:
+    """The DuckDB-side twin of h3_parent_col for oracle SQL strings."""
+    fill = (1 << ((MAX_RES - parent_res) * 3)) - 1
+    return (
+        f"(({cell_expr} & {~(0xF << 52)}) | {parent_res << 52} | {fill})"
+    )
+
+
+def h3_get_resolution(h: int) -> int:
+    return (h >> 52) & 0xF
+
+
+def h3_base_cell(h: int) -> int:
+    return (h >> 45) & 0x7F
+
+def h3_digit(h: int, r: int) -> int:
+    return (h >> ((MAX_RES - r) * 3)) & 0x7
+
+
+def h3_is_pentagon(h: int) -> bool:
+    if not _IS_PENT[h3_base_cell(h)]:
+        return False
+    res = h3_get_resolution(h)
+    return all(h3_digit(h, r) == 0 for r in range(1, res + 1))
+
+
+def h3_to_string(h: int) -> str:
+    return format(h, "x")
