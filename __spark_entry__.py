@@ -5,10 +5,12 @@
 tiling). ``queries()`` exposes one entry per implemented operator family
 from SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for
 every SQL-expressible one (hash-safe: integer/string output columns only).
-Only genuinely non-SQL operators (S2 cells, MinHash/SimHash, lang-ID, the
-geocode cascade) are registered without an oracle -> rows-only checks; PIP,
-ring-kNN, hex parents and n-gram Jaccard run through the real operators
-with DuckDB oracles.
+Only genuinely non-SQL operators (MinHash/SimHash band hashing, the geocode
+cascade) are registered without an oracle -> rows-only checks; PIP,
+ring-kNN, hex parents, n-gram Jaccard, lang-ID, and now the S2/H3 tile
+rollups (pinned-leaf-fixture + SQL parent-bit-math oracles, see
+scripts/gen_cell_fixtures.py) run through the real operators with DuckDB
+oracles.
 """
 
 from __future__ import annotations
@@ -47,6 +49,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_parent_rollup": dq.q_grid_parent_rollup,  # A9 zoom-out
         "hex_rollup": dq.q_hex_rollup,                  # A9 hex tiling
         "hex_parent_rollup": dq.q_hex_parent_rollup,    # F21 hex zoom-out
+        "h3_rollup": dq.q_h3_rollup,                    # A9 real Uber-H3 res 9
+        "h3_parent_rollup": dq.q_h3_parent_rollup,      # F21 H3 res-5 parents
         "knn_topk": dq.q_knn_topk,                      # J10/W4 oracle
         "knn_cells_grid": dq.q_knn_cells_grid,          # J10 scale path (oracled)
         "pip_rect": dq.q_pip_rect,                      # J9 (oracled)
@@ -81,6 +85,9 @@ def oracle_sql() -> dict[str, str]:
         "grid_parent_rollup": dq.SQL_GRID_PARENT,
         "hex_rollup": dq.SQL_HEX,
         "hex_parent_rollup": dq.SQL_HEX_PARENT,
+        "h3_rollup": dq.SQL_H3,
+        "h3_parent_rollup": dq.SQL_H3_PARENT,
+        "s2_rollup": dq.SQL_S2_ROLLUP,
         "knn_topk": dq.SQL_KNN,
         "knn_cells_grid": dq.SQL_KNN_CELLS,
         "pip_rect": dq.SQL_PIP_RECT,

@@ -12,6 +12,8 @@ the geocode cascade) are registered without an oracle -> rows-only check.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -520,6 +522,40 @@ def q_hex_parent_rollup(spark, sf_dir):
     )
 
 
+_FIXTURES = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "tests", "fixtures")
+)
+
+
+def q_h3_rollup(spark, sf_dir):
+    """A9 on REAL Uber-H3 res-9 cells (functions/h3.py, bit-compatible).
+    Oracle: pinned golden leaf cells (tests/fixtures, themselves gated by
+    published H3 test vectors) joined to the live customer table, rollup
+    in SQL — a cell-math regression breaks the value hash."""
+    from ..functions.h3 import h3_cell_col
+
+    pts = _cust_points(spark, sf_dir)
+    return (
+        pts.withColumn("cell", h3_cell_col(F.col("lat"), F.col("lon"), 9))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_h3_parent_rollup(spark, sf_dir):
+    """F21 on H3: res-9 -> res-5 parents via pure Column bit math
+    (h3_parent_col), zoom-out rollup; the oracle runs the IDENTICAL bit
+    expression in DuckDB (h3_parent_sql) over the pinned leaves."""
+    from ..functions.h3 import h3_parent_col
+
+    base = q_h3_rollup(spark, sf_dir)
+    return (
+        base.withColumn("pcell", h3_parent_col(F.col("cell"), 5))
+        .groupBy("pcell")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
 def q_knn_cells_grid(spark, sf_dir):
     """J10 scale path with a brute-force SQL oracle: 3 nearest supplier
     points per sampled customer point via incremental cell-ring expansion
@@ -660,4 +696,30 @@ c AS (SELECT n,
 SELECT (CAST(fq AS BIGINT) + 1048576) * 2097152 + (CAST(fr AS BIGINT) + 1048576) AS pcell,
        CAST(sum(n) AS BIGINT) AS n
 FROM c GROUP BY 1
+"""
+
+
+SQL_H3 = f"""
+SELECT f.h3_9 AS cell, count(*) AS n
+FROM customer c JOIN read_parquet('{_FIXTURES}/h3_cells_sf001.parquet') f
+  USING (c_custkey)
+GROUP BY 1
+"""
+
+SQL_H3_PARENT = f"""
+SELECT ((f.h3_9 & {~(0xF << 52)}) | {5 << 52} | {(1 << ((15 - 5) * 3)) - 1}) AS pcell,
+       count(*) AS n
+FROM customer c JOIN read_parquet('{_FIXTURES}/h3_cells_sf001.parquet') f
+  USING (c_custkey)
+GROUP BY 1
+"""
+
+# S2 parent at level 7: lsb = 1 << (2*(30-7)); parent = (cell & ~(2*lsb-1)) | lsb
+SQL_S2_ROLLUP = f"""
+SELECT f.cell13 AS cell13,
+       ((f.cell13 & {~(2 * (1 << 46) - 1)}) | {1 << 46}) AS cell7,
+       count(*) AS n
+FROM customer c JOIN read_parquet('{_FIXTURES}/s2_cells_sf001.parquet') f
+  USING (c_custkey)
+GROUP BY 1, 2
 """

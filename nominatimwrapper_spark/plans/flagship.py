@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import s2
+from ..functions.h3 import h3_cell_col
 from ..functions.text import detect_lang_udf, extract_text_udf
 from ..operators.dedup import (
     minhash_lsh_candidates,
@@ -148,11 +149,14 @@ def geocode_and_tile(
     )
     return res.withColumn(
         "cell13", s2.s2_cell_udf(13)(F.col("lat"), F.col("lon"))
+    ).withColumn(
+        "h3_9", h3_cell_col(F.col("lat"), F.col("lon"), 9)
     ).select(
         "addr_key", "url", "method",
         F.col("place_id").cast("long").alias("place_id"),
         F.col("place_rank").cast("long").alias("place_rank"),
         "cell13",
+        "h3_9",
         F.round(F.col("lat") * 1_000_000).cast("long").alias("lat_1e6"),
         F.round(F.col("lon") * 1_000_000).cast("long").alias("lon_1e6"),
     )
