@@ -54,10 +54,21 @@ def main() -> None:
 
     qs["geocode_flagship"] = lambda sp, d: _flagship(sp, d, replicate=rep)
     qs["geocode_flagship_big"] = lambda sp, d: _flagship(sp, d, replicate=rep_big)
+
+    def _flagship_nobc(sp, d):
+        # the >800MB-gazetteer regime: shuffle-join cascade. The bench
+        # gazetteer is physically small, so ALSO zero the auto-broadcast
+        # threshold for this leg — otherwise AQE converts the sort-merge
+        # joins right back and we would measure the broadcast plan twice.
+        sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        return _flagship(sp, d, replicate=rep, force_no_broadcast=True)
+
+    qs["geocode_flagship_nobc"] = _flagship_nobc
     _flagship(spark, sf_dir, replicate=1).write.format("noop").mode("overwrite").save()
     headline = [
         "geocode_flagship",     # the engine's real workload
         "geocode_flagship_big",  # same, 4x pages: the data-bound regime
+        "geocode_flagship_nobc",  # same pages, forced shuffle-join cascade
         "top1_per_group",
         "broadcast_join_agg",
         "asof_latest",
@@ -83,6 +94,8 @@ def main() -> None:
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        if name == "geocode_flagship_nobc":  # leg-scoped conf, restore
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
     total = round(sum(timings.values()), 3)
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
@@ -98,6 +111,9 @@ def main() -> None:
                 "shuffle_partitions": n_shuffle,
                 "flagship_pages": n_docs * rep,
                 "flagship_pages_per_sec": round(n_docs * rep / timings["geocode_flagship"], 1),
+                "flagship_nobc_pages_per_sec": round(
+                    n_docs * rep / timings["geocode_flagship_nobc"], 1
+                ),
                 "flagship_big_pages": n_docs * rep_big,
                 "flagship_big_pages_per_sec": round(
                     n_docs * rep_big / timings["geocode_flagship_big"], 1

@@ -149,29 +149,24 @@ def lsh_dropped_bucket_stats(banded: DataFrame, max_bucket_size: int, keys=("ban
     return int(big["n_buckets"]), int(big["n_rows"])
 
 
-def minhash_lsh_candidates(
+def banded_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
-    max_bucket_size: int = 500,
 ) -> DataFrame:
-    """Candidate near-dup pairs via banded MinHash LSH.
-
-    rows/band = num_hashes/bands; docs sharing any band hash collide.
-    Returns (id_a, id_b, n_bands_shared) with id_a < id_b. Buckets larger
-    than ``max_bucket_size`` are dropped before the self-join (use
-    ``lsh_dropped_bucket_stats`` to measure the dropped volume); true
-    giant dup-clusters are the exact-dedup pass's job, not LSH's.
-    """
+    """(_id, band, bhash) banded MinHash rows — the pre-cap frame of the
+    LSH pipeline, exported so ops/tests can measure bucket-size drop
+    volume (lsh_dropped_bucket_stats) on EXACTLY the frame the candidate
+    join consumes."""
     rows_per_band = num_hashes // bands
     sigs = docs.select(
         F.col(id_col).alias("_id"),
         minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias("_sig"),
     )
-    banded = sigs.select(
+    return sigs.select(
         "_id",
         F.explode(
             F.transform(
@@ -191,6 +186,28 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket_size: int = 500,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    rows/band = num_hashes/bands; docs sharing any band hash collide.
+    Returns (id_a, id_b, n_bands_shared) with id_a < id_b. Buckets larger
+    than ``max_bucket_size`` are dropped before the self-join (use
+    ``lsh_dropped_bucket_stats`` to measure the dropped volume); true
+    giant dup-clusters are the exact-dedup pass's job, not LSH's.
+    """
+    banded = banded_signatures(
+        docs, id_col, text_col, num_hashes, bands, shingle_n
+    )
     banded = cap_lsh_buckets(banded, max_bucket_size)
 
     l = banded.select(F.col("_id").alias("id_a"), "band", "bhash")

@@ -59,11 +59,20 @@ def world_dir(n_streets: int = 120, houses_per_street: int = 6) -> str:
 _INDEX_CACHE: dict[tuple, GazetteerIndex] = {}
 
 
-def gazetteer_index(spark: SparkSession, **kw) -> GazetteerIndex:
+def gazetteer_index(
+    spark: SparkSession, force_no_broadcast: bool = False, **kw
+) -> GazetteerIndex:
+    """``force_no_broadcast`` builds the index with a zero broadcast budget
+    — the shuffle-join cascade regime a several-GB planet-scale gazetteer
+    hits (bench leg; correctness is identical, tested in
+    test_non_broadcast_path_same_results)."""
     d = world_dir(**kw)
-    key = (id(spark), d)
+    key = (id(spark), d, force_no_broadcast)
     if key not in _INDEX_CACHE:
-        _INDEX_CACHE[key] = build_gazetteer_index(spark.read.parquet(f"{d}/gazetteer.parquet"))
+        gaz = spark.read.parquet(f"{d}/gazetteer.parquet")
+        _INDEX_CACHE[key] = build_gazetteer_index(
+            gaz, broadcast_max_bytes=0 if force_no_broadcast else 800 * 1024 * 1024
+        )
     return _INDEX_CACHE[key]
 
 
@@ -163,10 +172,17 @@ def geocode_and_tile(
 
 
 def flagship(
-    spark: SparkSession, sf_dir: str, check_results: bool = True, replicate: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    check_results: bool = True,
+    replicate: int = 1,
+    force_no_broadcast: bool = False,
 ) -> DataFrame:
     """documents -> pages -> extract -> geocode -> S2 cells. Returns the
-    geocoded point table (one row per injected address)."""
+    geocoded point table (one row per injected address).
+
+    ``force_no_broadcast`` runs the shuffle-join cascade (the regime a
+    gazetteer above the 800 MB broadcast gate hits at planet scale)."""
     pages = pages_from_documents(spark, sf_dir, replicate=replicate)
     # dedup_crawls=False: doc://<id> urls are unique BY CONSTRUCTION, and the
     # as-of window would shuffle every page WITH its html payload — a pure
@@ -176,7 +192,7 @@ def flagship(
     # validate_unique=False: addr_key = url#pos is unique by construction ->
     # skip the guard shuffle.
     return geocode_and_tile(
-        pages, gazetteer_index(spark),
+        pages, gazetteer_index(spark, force_no_broadcast=force_no_broadcast),
         dedup_crawls=False, validate_unique=False, check_results=check_results,
     )
 

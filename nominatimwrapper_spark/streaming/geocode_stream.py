@@ -48,9 +48,11 @@ PAGES_SCHEMA = StructType(
 
 def geocode_micro_batch(pages: DataFrame, index: GazetteerIndex) -> DataFrame:
     """One micro-batch through the shared batch core (extract -> cascade ->
-    S2). dedup_crawls=False: cross-micro-batch recrawl dedup is the
-    stateful operator's job (streaming/stateful.py), not a per-batch
-    window; validate_unique=False: addr_key embeds the page url + position."""
+    S2/H3). dedup_crawls=False: cross-micro-batch recrawl dedup happens
+    UPSTREAM in the streaming plan (first_seen_stream wired in by
+    geocode_pages_stream), where per-key state outlives the micro-batch —
+    a per-batch window could never see a recrawl arriving one epoch
+    later; validate_unique=False: addr_key embeds the page url + position."""
     from ..plans.flagship import geocode_and_tile
 
     return geocode_and_tile(pages, index, dedup_crawls=False, validate_unique=False)
@@ -63,17 +65,39 @@ def geocode_pages_stream(
     out_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    dedup_recrawls: bool = True,
 ):
-    """File-source pages stream -> batch cascade per micro-batch -> parquet
-    sink. Returns the started StreamingQuery; caller awaits termination.
+    """File-source pages stream -> stateful first-seen recrawl dedup ->
+    batch cascade per micro-batch -> parquet sink. Returns the started
+    StreamingQuery; caller awaits termination.
+
+    ``dedup_recrawls`` composes streaming/stateful.first_seen_stream
+    UPSTREAM of the cascade: a url re-delivered in ANY later micro-batch
+    (recrawl, retry, mirror) is dropped by per-key state before paying
+    extraction + geocoding. Stream semantics are FIRST-arrival-wins (a
+    stream cannot know a newer crawl is coming); the batch lifecycle's
+    as-of dedup is latest-wins — identical recrawl content geocodes
+    identically under both.
 
     Restarting with the same ``checkpoint_dir`` resumes after the last
-    committed micro-batch: already-geocoded files are not reprocessed."""
+    committed micro-batch: already-geocoded files are not reprocessed,
+    and the dedup state itself is part of the streaming checkpoint."""
     stream = (
         spark.readStream.schema(PAGES_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(input_dir)
     )
+    if dedup_recrawls:
+        from .stateful import first_seen_stream
+
+        # catch-up (availableNow) runs dedup across the whole backfill with
+        # NoTimeout — a processing-time TTL would keep the drained query
+        # alive firing empty expiry micro-batches; continuous runs keep the
+        # default 24h TTL for bounded state
+        stream = first_seen_stream(
+            stream, key="url",
+            state_ttl_ms=None if available_now else 24 * 3600 * 1000,
+        )
 
     def _one_batch(pages: DataFrame, epoch_id: int) -> None:
         out = geocode_micro_batch(pages, index).withColumn(

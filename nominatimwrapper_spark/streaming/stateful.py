@@ -35,7 +35,7 @@ def first_seen_batch(df: DataFrame, key: str = "url", order: str = "warc_ts") ->
 def first_seen_stream(
     stream: DataFrame,
     key: str = "url",
-    state_ttl_ms: int = 24 * 3600 * 1000,
+    state_ttl_ms: int | None = 24 * 3600 * 1000,
 ) -> DataFrame:
     """Stateful first-seen filter on a streaming DataFrame.
 
@@ -44,14 +44,21 @@ def first_seen_stream(
     ``state_ttl_ms`` of processing-time inactivity — bounded state at
     planet-scale key cardinality (after expiry a re-arrival is treated as
     new, the standard TTL trade-off).
+
+    ``state_ttl_ms=None`` disables expiry (GroupStateTimeout.NoTimeout).
+    Required for availableNow catch-up runs: with processing-time
+    timeouts armed, Structured Streaming keeps scheduling empty
+    micro-batches to fire future expirations, so a drain-and-stop trigger
+    never terminates; a bounded backfill wants whole-run dedup anyway.
     """
     out_schema: StructType = stream.schema
     state_schema = "seen boolean"
+    with_ttl = state_ttl_ms is not None
 
     def dedup_fn(
         key_tuple: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
-        if state.hasTimedOut:
+        if with_ttl and state.hasTimedOut:
             state.remove()
             return
         seen = state.exists
@@ -62,14 +69,19 @@ def first_seen_stream(
                 emitted = True
         if not seen:
             state.update((True,))
-        state.setTimeoutDuration(state_ttl_ms)
+        if with_ttl:
+            state.setTimeoutDuration(state_ttl_ms)
 
     return stream.groupBy(key).applyInPandasWithState(
         dedup_fn,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if with_ttl
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

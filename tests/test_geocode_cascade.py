@@ -210,6 +210,28 @@ def test_non_broadcast_path_same_results(spark, world, index, cascade_out):
     pd.testing.assert_frame_equal(b, s)
 
 
+def test_flagship_output_pinned(spark):
+    """Value-level gate behind the rows-only ``geocode_flagship`` driver
+    row: the COMPLETE sf0.001 flagship output (sorted, quantized lat/lon,
+    S2 + H3 cells, methods, place ids) hashes to a pinned digest. Any
+    semantic change to extraction, the cascade, scoring, or tiling breaks
+    this — rerun and re-pin only after explaining the diff."""
+    import hashlib
+
+    from nominatimwrapper_spark.plans.flagship import flagship
+
+    df = flagship(spark, "/root/testdata/sf0.001").toPandas()
+    df = df[sorted(df.columns)].sort_values(["addr_key"]).reset_index(drop=True)
+    assert list(df.columns) == [
+        "addr_key", "cell13", "h3_9", "lat_1e6", "lon_1e6",
+        "method", "place_id", "place_rank", "url",
+    ]
+    digest = hashlib.sha256(df.to_csv(index=False).encode()).hexdigest()
+    assert digest == (
+        "e6894087f1514840596ff014640971643352b83bca3f6dd19a61700a7f6393e4"
+    ), f"flagship output drifted: {digest} ({len(df)} rows)"
+
+
 def test_skewed_hot_address_fanback(spark, world, index):
     """Skew path: one composed address carried by 60% of all input keys (a
     boilerplate footer address on half the crawl). Scoring runs once at the

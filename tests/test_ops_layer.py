@@ -201,6 +201,71 @@ def test_geocode_job_partitioned_resume(spark, tmp_path):
     assert m3[victim]["rows_out"] == m1[victim]["rows_out"]
 
 
+def test_streaming_flagship_with_recrawl_dedup(spark, tmp_path):
+    """The COMPOSED streaming flagship: stateful first-seen dedup wired
+    upstream of the per-micro-batch cascade. Urls recrawled across
+    micro-batches are geocoded exactly once, and the stream's total
+    output equals the batch lifecycle (first-seen dedup + cascade) on the
+    union of all arrivals."""
+    import glob
+    import shutil
+
+    from nominatimwrapper_spark.plans.flagship import (
+        gazetteer_index,
+        pages_from_documents,
+    )
+    from nominatimwrapper_spark.streaming.geocode_stream import (
+        geocode_micro_batch,
+        geocode_pages_stream,
+    )
+    from nominatimwrapper_spark.streaming.stateful import first_seen_batch
+
+    sf001 = "/root/testdata/sf0.001"
+    pages = pages_from_documents(spark, sf001).localCheckpoint(eager=True)
+    wave1 = pages.filter(F.crc32(F.col("url")) % 3 <= 1)  # ~2/3 of urls
+    # wave 2 = the remaining third PLUS a recrawl of half of wave 1
+    # (same url+content, later warc_ts)
+    recrawl = pages.filter(F.crc32(F.col("url")) % 3 == 0).withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 7 DAYS")
+    )
+    wave2 = pages.filter(F.crc32(F.col("url")) % 3 == 2).unionByName(recrawl)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def _drop_file(df, name):
+        d = str(tmp_path / f"_stage_{name}")
+        df.coalesce(1).write.parquet(d)
+        src = glob.glob(f"{d}/part-*.parquet")[0]
+        shutil.move(src, str(in_dir / f"{name}.parquet"))
+        shutil.rmtree(d)
+
+    _drop_file(wave1, "000")
+    _drop_file(wave2, "001")
+    out_dir = str(tmp_path / "out")
+    q = geocode_pages_stream(
+        spark, str(in_dir), gazetteer_index(spark), out_dir,
+        str(tmp_path / "ck"), dedup_recrawls=True,
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out_dir).toPandas()
+
+    # recrawled urls were NOT geocoded twice
+    assert got["addr_key"].is_unique
+
+    # == batch lifecycle: first-seen dedup over ALL arrivals + cascade
+    all_arrivals = wave1.unionByName(wave2)
+    exp = geocode_micro_batch(
+        first_seen_batch(all_arrivals, key="url", order="warc_ts"),
+        gazetteer_index(spark),
+    ).toPandas()
+    key = ["addr_key", "method", "place_id", "cell13", "h3_9"]
+    pd.testing.assert_frame_equal(
+        got[key].sort_values("addr_key").reset_index(drop=True),
+        exp[key].sort_values("addr_key").reset_index(drop=True),
+    )
+
+
 def test_stateful_first_seen_dedup(spark, tmp_path):
     """Custom stateful operator: first-seen url dedup across micro-batches
     (applyInPandasWithState). Chunk 1 = 40 urls at T0; chunk 2 = the same
@@ -378,6 +443,51 @@ def test_minhash_finds_planted_near_dups(spark):
     assert all(i in kept_ids for i in range(0, 100))  # originals kept
     dropped = [i for i in range(1_000_000, 1_000_100) if i not in kept_ids]
     assert len(dropped) >= 90  # near-identical copies overwhelmingly dropped
+
+
+def test_minhash_driver_corpus_recall_and_zero_drops(spark):
+    """Backs the rows-only ``minhash_lsh`` driver row with a value-level
+    gate: on the ACTUAL sf0.01 driver corpus, (a) LSH candidate recall
+    over all-pairs true-Jaccard near-dups meets a bound, and (b) the
+    bucket cap drops nothing (the driver numbers are uncapped reality)."""
+    from nominatimwrapper_spark.operators.dedup import (
+        banded_signatures,
+        lsh_dropped_bucket_stats,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    pdf = docs.toPandas()
+    # all-pairs true Jaccard on word 3-shingles (500 docs -> 125k pairs)
+    sh = []
+    for t in pdf.text:
+        toks = t.split()
+        sh.append(
+            frozenset(
+                " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))
+            )
+        )
+    ids = pdf.doc_id.tolist()
+    true_pairs = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            inter = len(sh[i] & sh[j])
+            if not inter:
+                continue
+            if inter / len(sh[i] | sh[j]) >= 0.7:
+                a, b = sorted((ids[i], ids[j]))
+                true_pairs.add((a, b))
+    assert true_pairs, "driver corpus has no true near-dups to measure recall on"
+
+    cand = minhash_lsh_candidates(docs, num_hashes=32, bands=8).toPandas()
+    found = {tuple(sorted(p)) for p in zip(cand.id_a, cand.id_b)}
+    recall = len(true_pairs & found) / len(true_pairs)
+    # 32 hashes / 8 bands: P(collide | J=0.7) ~ 1-(1-0.7^4)^8 ~ 0.91/pair
+    assert recall >= 0.85, f"LSH recall {recall:.2f} over {len(true_pairs)} pairs"
+
+    n_buckets, n_rows = lsh_dropped_bucket_stats(
+        banded_signatures(docs, num_hashes=32, bands=8), max_bucket_size=500
+    )
+    assert (n_buckets, n_rows) == (0, 0), "cap dropped rows on the driver corpus"
 
 
 def test_minhash_degenerate_corpus_capped(spark):

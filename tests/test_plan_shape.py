@@ -61,6 +61,31 @@ def test_gazetteer_join_is_broadcast(spark, tmp_path_factory):
     # for the candidate lookup itself
     assert plan.count("BroadcastHashJoin") >= 4  # one per candidate level
 
+    # the >broadcast-gate regime: with broadcast_ok=False (a several-GB
+    # planet gazetteer) and the auto-broadcast threshold off, every
+    # candidate join must compile to a shuffle join — no broadcast of
+    # EITHER side (a planet gazetteer would OOM every executor)
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # threshold off BEFORE the index build: the cached lookup plan
+        # (gazetteer self-join for parent variants) compiles under it too,
+        # exactly as a >threshold planet gazetteer would plan itself
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # a fresh path: the cache manager dedups .cache() by logical plan,
+        # so reusing the same parquet dir would hand back the FIRST index's
+        # broadcast-compiled InMemoryRelation
+        d2 = tmp_path_factory.mktemp("plan_world_nobc")
+        write_world(str(d2), gen_world(n_streets=30, houses_per_street=4, n_pages=5, n_per_class=1))
+        index_nobc = build_gazetteer_index(
+            spark.read.parquet(f"{d2}/gazetteer.parquet"), broadcast_max_bytes=0
+        )
+        assert index_nobc.broadcast_ok is False
+        plan_nobc = _formatted(geocode_candidates(addr, index_nobc))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+    assert "BroadcastHashJoin" not in plan_nobc
+    assert "SortMergeJoin" in plan_nobc
+
 
 def test_column_math_stays_in_codegen(spark):
     from nominatimwrapper_spark.plans.driver_queries import q_haversine
