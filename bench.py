@@ -74,6 +74,7 @@ def main() -> None:
         "asof_latest",
         "grid_rollup",
         "s2_rollup",
+        "h3_rollup",
         "knn_topk",
         "cosine_topk",
         "dedup_exact",
