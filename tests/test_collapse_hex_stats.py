@@ -159,6 +159,30 @@ def test_multi_zoom_rollup_on_hex(spark):
     assert len(out[out.zoom == 1]) < len(out[out.zoom == 0])
 
 
+def test_multi_zoom_rollup_on_h3(spark):
+    """The same generic hierarchical rollup over REAL H3 ids: res-9 cells
+    computed once, coarser zooms by pure parent bit math, counts conserved
+    and every parent at the requested resolution."""
+    from nominatimwrapper_spark.functions.h3 import h3_cell_col, h3_parent_col
+    from nominatimwrapper_spark.operators.spatial import multi_zoom_rollup
+
+    rng = np.random.default_rng(15)
+    pts = spark.createDataFrame(
+        pd.DataFrame(dict(lat=rng.uniform(49.5, 51.5, 500), lon=rng.uniform(2.5, 6.4, 500)))
+    )
+    out = multi_zoom_rollup(
+        pts,
+        h3_cell_col(F.col("lat"), F.col("lon"), 9),
+        lambda cell, lv: h3_parent_col(cell, lv),
+        levels=[9, 6, 3],
+    ).toPandas()
+    for lv in (9, 6, 3):
+        sub = out[out.zoom == lv]
+        assert sub.n.sum() == 500
+        assert ((sub.cell.to_numpy().astype("int64") >> 52) & 0xF == lv).all()
+    assert len(out[out.zoom == 3]) < len(out[out.zoom == 6]) < len(out[out.zoom == 9])
+
+
 def test_cascade_step_stats(spark, tmp_path_factory):
     from nominatimwrapper_spark.operators.geocode import build_gazetteer_index, cascade
     from nominatimwrapper_spark.synth import gen_world, write_world
