@@ -5,12 +5,15 @@
 tiling). ``queries()`` exposes one entry per implemented operator family
 from SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for
 every SQL-expressible one (hash-safe: integer/string output columns only).
-Only genuinely non-SQL operators (MinHash/SimHash band hashing, the geocode
-cascade) are registered without an oracle -> rows-only checks; PIP,
-ring-kNN, hex parents, n-gram Jaccard, lang-ID, and now the S2/H3 tile
-rollups (pinned-leaf-fixture + SQL parent-bit-math oracles, see
-scripts/gen_cell_fixtures.py) run through the real operators with DuckDB
-oracles.
+The only query registered without an oracle is the geocode cascade
+(rows-only driver check, value-pinned instead by
+test_flagship_output_pinned's sha256 of the complete sf0.001 output). PIP,
+ring-kNN, hex parents, n-gram Jaccard, lang-ID, the S2/H3 tile rollups,
+SimHash and MinHash-LSH all run through the real operators with DuckDB
+oracles — the non-SQL hash kernels (S2/H3 cells, SimHash signatures,
+xxhash64 MinHash bands) are pinned as fixtures
+(scripts/gen_cell_fixtures.py) while the surrounding join/rollup/band
+semantics are recomputed in SQL against the live tables.
 """
 
 from __future__ import annotations
@@ -88,6 +91,8 @@ def oracle_sql() -> dict[str, str]:
         "h3_rollup": dq.SQL_H3,
         "h3_parent_rollup": dq.SQL_H3_PARENT,
         "s2_rollup": dq.SQL_S2_ROLLUP,
+        "simhash_near_dups": dq.SQL_SIMHASH,
+        "minhash_lsh": dq.SQL_MINHASH,
         "knn_topk": dq.SQL_KNN,
         "knn_cells_grid": dq.SQL_KNN_CELLS,
         "pip_rect": dq.SQL_PIP_RECT,

@@ -254,39 +254,47 @@ def minhash_dedup(
 # ---------------------------------------------------------------------------
 
 
+def simhash_np(texts) -> "np.ndarray":
+    """64-bit SimHash per text as int64 numpy — the kernel both the Spark
+    UDF and the pinned-fixture generator call, so the driver oracle pins
+    exactly what production computes."""
+    import numpy as np
+
+    from ..functions.text import fnv1a_64
+
+    cache: dict[str, int] = {}
+    shifts = np.arange(64, dtype=np.uint64)
+    out = np.zeros(len(texts), dtype=np.int64)
+    for n, t in enumerate(texts):
+        if not t:
+            continue
+        toks = t.split()
+        hs = np.fromiter(
+            (cache.setdefault(w, fnv1a_64(w.encode("utf-8"))) for w in toks),
+            dtype=np.uint64,
+            count=len(toks),
+        )
+        bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+        votes = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for b in np.nonzero(votes > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(b)
+        out[n] = np.int64(sig.astype(np.int64))
+    return out
+
+
 def simhash_udf():
     """64-bit SimHash as an Arrow-batched pandas UDF (numpy bit-matrix
     majority vote with per-batch token-hash caching — a 64-pass Column
     aggregate would re-walk the token array per bit, so the UDF is the
     faster path here)."""
-    import numpy as np
     import pandas as pd
     from pyspark.sql.pandas.functions import pandas_udf
     from pyspark.sql.types import LongType
 
-    from ..functions.text import fnv1a_64
-
     @pandas_udf(LongType())
     def _simhash(text):  # no hints: local-scope 'pd' breaks hint inference
-        cache: dict[str, int] = {}
-        shifts = np.arange(64, dtype=np.uint64)
-        out = np.zeros(len(text), dtype=np.int64)
-        for n, t in enumerate(text.tolist()):
-            if not t:
-                continue
-            toks = t.split()
-            hs = np.fromiter(
-                (cache.setdefault(w, fnv1a_64(w.encode("utf-8"))) for w in toks),
-                dtype=np.uint64,
-                count=len(toks),
-            )
-            bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
-            votes = (2 * bits - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for b in np.nonzero(votes > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(b)
-            out[n] = np.int64(sig.astype(np.int64))
-        return pd.Series(out)
+        return pd.Series(simhash_np(text.tolist()))
 
     return _simhash
 

@@ -723,3 +723,30 @@ FROM customer c JOIN read_parquet('{_FIXTURES}/s2_cells_sf001.parquet') f
   USING (c_custkey)
 GROUP BY 1, 2
 """
+
+
+# SimHash oracle: signatures pinned (shared numpy kernel, see
+# scripts/gen_cell_fixtures.py), the band projection recomputed in SQL.
+# Spark's pmod is always-positive; DuckDB's % keeps the dividend sign.
+SQL_SIMHASH = f"""
+SELECT d.doc_id, f.simhash,
+       CAST(((f.simhash % 65536) + 65536) % 65536 AS BIGINT) AS band16
+FROM documents d JOIN read_parquet('{_FIXTURES}/simhash_sf001.parquet') f
+  USING (doc_id)
+"""
+
+# MinHash-LSH oracle: the banded rows are pinned (xxhash64 is
+# Spark-specific), but the CANDIDATE-GENERATION semantics — the bucketed
+# self-join, the id ordering, and the shared-band count — are recomputed
+# in SQL. The join to documents keeps the fixture honest against the live
+# table.
+SQL_MINHASH = f"""
+WITH b AS (
+  SELECT f.doc_id AS _id, f.band, f.bhash
+  FROM read_parquet('{_FIXTURES}/minhash_banded_sf001.parquet') f
+  JOIN documents d USING (doc_id)
+)
+SELECT a._id AS id_a, c._id AS id_b, count(*) AS n_bands_shared
+FROM b a JOIN b c ON a.band = c.band AND a.bhash = c.bhash AND a._id < c._id
+GROUP BY 1, 2
+"""

@@ -50,7 +50,28 @@ def main() -> None:
     pd.DataFrame({"c_custkey": key, "h3_9": h3_9}).to_parquet(
         os.path.join(OUT_DIR, "h3_cells_sf001.parquet"), index=False
     )
-    print(f"wrote {len(key)}-row fixtures to {OUT_DIR}")
+
+    # dedup fixtures: SimHash signatures (shared numpy kernel) and the
+    # banded MinHash rows (needs Spark's xxhash64 — the oracle then reruns
+    # the bucket SELF-JOIN + band count in SQL over these, so the join
+    # semantics are SQL-verified and only the hashing is pinned)
+    from nominatimwrapper_spark.operators.dedup import banded_signatures, simhash_np
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    pd.DataFrame(
+        {"doc_id": docs.doc_id, "simhash": simhash_np(docs.text.tolist())}
+    ).to_parquet(os.path.join(OUT_DIR, "simhash_sf001.parquet"), index=False)
+
+    from nominatimwrapper_spark.session import get_spark
+
+    spark = get_spark(master="local[4]", shuffle_partitions=8)
+    sdocs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    banded_signatures(sdocs, "doc_id", "text", num_hashes=32, bands=8).toPandas().rename(
+        columns={"_id": "doc_id"}
+    ).to_parquet(os.path.join(OUT_DIR, "minhash_banded_sf001.parquet"), index=False)
+    spark.stop()
+
+    print(f"wrote {len(key)}-row cell + dedup fixtures to {OUT_DIR}")
 
 
 if __name__ == "__main__":
