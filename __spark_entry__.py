@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h3_parent_rollup": dq.q_h3_parent_rollup,      # F21 H3 res-5 parents
         "knn_topk": dq.q_knn_topk,                      # J10/W4 oracle
         "knn_cells_grid": dq.q_knn_cells_grid,          # J10 scale path (oracled)
+        "knn_h3": dq.q_knn_h3,                          # J10 on real H3 rings (oracled)
         "pip_rect": dq.q_pip_rect,                      # J9 (oracled)
         "dedup_exact": dq.q_dedup_exact,                # dedup: exact
         "token_stats": dq.q_token_stats,                # text analysis
@@ -95,6 +96,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": dq.SQL_MINHASH,
         "knn_topk": dq.SQL_KNN,
         "knn_cells_grid": dq.SQL_KNN_CELLS,
+        "knn_h3": dq.SQL_KNN_CELLS,
         "pip_rect": dq.SQL_PIP_RECT,
         "dedup_exact": dq.SQL_DEDUP,
         "token_stats": dq.SQL_TOKENS,

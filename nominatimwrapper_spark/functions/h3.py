@@ -1008,6 +1008,202 @@ def h3_parent_sql(cell_expr: str, parent_res: int) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# cell -> center, neighbors (rings)
+# ---------------------------------------------------------------------------
+
+
+def _truncate_to_res(h: np.ndarray, r: int) -> np.ndarray:
+    """Parent index at res r (pure bit math, vectorized uint64)."""
+    h = h.astype(np.uint64)
+    res_mask = np.uint64(0xF) << np.uint64(52)
+    fill = np.uint64((1 << ((MAX_RES - r) * 3)) - 1)
+    return (h & ~res_mask) | (np.uint64(r) << np.uint64(52)) | fill
+
+
+def cell_to_latlng(cells) -> tuple[np.ndarray, np.ndarray]:
+    """Exact cell centers (degrees) for an array of H3 indexes.
+
+    Hierarchical candidate descent: start from the base cell's home-chart
+    coordinates (exact by definition), and at each finer resolution test
+    the 7 aperture-child grid points by running the PRODUCTION
+    latlng_to_cell on them — the child whose index truncates to the
+    target is the next ancestor. After each step the coordinates are
+    re-expressed on the child's closest-face chart, so the walk never
+    accumulates gnomonic distortion (the reason a naive home-chart digit
+    walk drifts by whole cells at fine resolutions). No overage tables,
+    no recalled data: the forward pipeline is the arbiter.
+
+    Cost: 7 forward evaluations per level (vectorized across the input),
+    so this is an API for moderate cell sets (ring/kNN query sides,
+    plotting, fixtures) — the corpus hot path never needs centers."""
+    h = np.asarray(cells, dtype=np.uint64)
+    n = len(h)
+    res = ((h >> np.uint64(52)) & np.uint64(0xF)).astype(np.int64)
+    if n and not (res == res[0]).all():
+        raise ValueError("cell_to_latlng: mixed resolutions in one batch")
+    r_target = int(res[0]) if n else 0
+    bc = ((h >> np.uint64(45)) & np.uint64(0x7F)).astype(np.int64)
+
+    home = np.array(_BASE_CELL_HOME, dtype=np.int64)
+    face = home[bc, 0]
+    i, j, k = home[bc, 1].copy(), home[bc, 2].copy(), home[bc, 3].copy()
+
+    du = np.array([0, 0, 0, 0, 1, 1, 1], dtype=np.int64)
+    dv = np.array([0, 0, 1, 1, 0, 0, 1], dtype=np.int64)
+    dw = np.array([0, 1, 0, 1, 0, 1, 0], dtype=np.int64)
+
+    for r in range(1, r_target + 1):
+        class_iii = (r % 2) == 1
+        ci, cj, ck = _down_ap7(i, j, k, class_iii)
+        want = _truncate_to_res(h, r)
+        found = np.zeros(n, dtype=bool)
+        ni = np.zeros(n, dtype=np.int64)
+        nj = np.zeros(n, dtype=np.int64)
+        nk = np.zeros(n, dtype=np.int64)
+        nf = face.copy()
+        glat = np.zeros(n)
+        glng = np.zeros(n)
+        for d in range(7):
+            ti, tj, tk = _ijk_normalize(ci + du[d], cj + dv[d], ck + dw[d])
+            x, y = _ijk_to_hex2d(ti, tj, tk)
+            lat, lng = _hex2d_to_geo(x, y, face, r)
+            idx = latlng_to_cell(np.degrees(lat), np.degrees(lng), r)
+            hit = ~found & (idx == want)
+            if hit.any():
+                ni[hit], nj[hit], nk[hit] = ti[hit], tj[hit], tk[hit]
+                glat[hit], glng[hit] = lat[hit], lng[hit]
+                found |= hit
+            if found.all():
+                break
+        if not found.all():
+            # seam fallback: near a routing boundary the true child's
+            # subdivision grid point on THIS chart can physically sit in a
+            # neighboring cell. The chart-f coordinate whose grid point
+            # lands inside the child then differs by a unit step or two —
+            # sweep ring 2 around the center child for the stragglers.
+            # (The landing point need not be the canonical center; it is
+            # interior to the child, and the closest-face re-rounding
+            # below converts interior points to exact chart coordinates.)
+            miss = np.where(~found)[0]
+            for d2i in range(-2, 3):
+                for d2j in range(-2, 3):
+                    if found.all():
+                        break
+                    m = miss[~found[miss]]
+                    if not len(m):
+                        break
+                    ti, tj, tk = _ijk_normalize(ci[m] + d2i, cj[m] + d2j, ck[m])
+                    x, y = _ijk_to_hex2d(ti, tj, tk)
+                    lat, lng = _hex2d_to_geo(x, y, face[m], r)
+                    idx = latlng_to_cell(np.degrees(lat), np.degrees(lng), r)
+                    hit = idx == want[m]
+                    if hit.any():
+                        sel = m[hit]
+                        ni[sel], nj[sel], nk[sel] = ti[hit], tj[hit], tk[hit]
+                        glat[sel], glng[sel] = lat[hit], lng[hit]
+                        found[sel] = True
+        if not found.all():
+            # last-resort fallback (pentagon folds can displace the true
+            # child off this chart entirely): sample the parent's disk —
+            # the child occupies part of it — index the samples through
+            # production, and take any point landing in the wanted child.
+            # The interior point is then re-rounded to exact chart
+            # coordinates by the migration step below.
+            spacing = 0.4 / _SQRT7 ** r
+            rng_fb = np.random.default_rng(5)
+            for m in np.where(~found)[0]:
+                px, py = _ijk_to_hex2d(i[m : m + 1], j[m : m + 1], k[m : m + 1])
+                plat, plng = _hex2d_to_geo(px, py, face[m : m + 1], r - 1)
+                az = rng_fb.uniform(0, 2 * np.pi, 400)
+                dist = rng_fb.uniform(0, 1, 400) ** 0.5 * 3.2 * spacing
+                slat, slng = _geo_az_distance(
+                    np.float64(plat[0]), np.float64(plng[0]), az, dist
+                )
+                idx = latlng_to_cell(np.degrees(slat), np.degrees(slng), r)
+                hits = np.where(idx == want[m])[0]
+                if len(hits):
+                    t = hits[0]
+                    pf = int(_closest_face(_geo_to_xyz(slat[t], slng[t])))
+                    _, fx, fy = _geo_to_hex2d(
+                        slat[t : t + 1], slng[t : t + 1], r,
+                        face=np.array([pf]),
+                    )
+                    fi_, fj_, fk_ = _hex2d_to_ijk(fx, fy)
+                    ni[m], nj[m], nk[m] = int(fi_[0]), int(fj_[0]), int(fk_[0])
+                    nf[m] = pf
+                    # grid point of the found coords = the exact center
+                    gx, gy = _ijk_to_hex2d(fi_, fj_, fk_)
+                    gl, gn = _hex2d_to_geo(gx, gy, np.array([pf]), r)
+                    glat[m], glng[m] = float(gl[0]), float(gn[0])
+                    found[m] = True
+        if not found.all():
+            bad = int((~found).sum())
+            raise ValueError(
+                f"cell_to_latlng: {bad} cells failed the child descent at "
+                f"res {r} (malformed index?)"
+            )
+        # re-express on each point's closest face so distortion never grows:
+        # the center is interior to its cell, so rounding it on its own
+        # closest-face chart returns the same cell's coordinates there
+        pf = _closest_face(_geo_to_xyz(glat, glng))
+        migrate = pf != face
+        if migrate.any():
+            _, mx, my = _geo_to_hex2d(
+                glat[migrate], glng[migrate], r, face=pf[migrate]
+            )
+            mi, mj, mk = _hex2d_to_ijk(mx, my)
+            ni[migrate], nj[migrate], nk[migrate] = mi, mj, mk
+            nf[migrate] = pf[migrate]
+        face, i, j, k = nf, ni, nj, nk
+
+    x, y = _ijk_to_hex2d(i, j, k)
+    lat, lng = _hex2d_to_geo(x, y, face, r_target)
+    return np.degrees(lat), np.degrees(lng)
+
+
+def grid_disk(cells, k: int = 1) -> list[set[int]]:
+    """k-ring neighborhoods (grid_disk semantics: all cells within k grid
+    steps, origin included) for an array of same-resolution H3 indexes.
+
+    Neighbors are found geometrically from EXACT centers: step one grid
+    spacing along the six local hex axes of the origin's closest-face
+    chart and index the landing points with the production pipeline —
+    interior landings make this exact for hexagons, and pentagon origins
+    simply yield their five distinct neighbors (the sixth step lands in
+    an already-found cell). BFS over rings for k > 1."""
+    h = np.asarray(cells, dtype=np.uint64)
+    out = [set([int(c)]) for c in h]
+    frontier = [set([int(c)]) for c in h]
+    for _ in range(k):
+        nxt = [set() for _ in h]
+        flat = sorted({c for s in frontier for c in s})
+        if not flat:
+            break
+        fa = np.array(flat, dtype=np.uint64)
+        res = int((fa[0] >> np.uint64(52)) & np.uint64(0xF))
+        lat, lng = cell_to_latlng(fa)
+        latr, lngr = np.radians(lat), np.radians(lng)
+        face, x, y = _geo_to_hex2d(latr, lngr, res)
+        neigh_of: dict[int, set[int]] = {int(c): set() for c in flat}
+        for ang in range(6):
+            t = ang * np.pi / 3.0
+            nx = x + np.cos(t)
+            ny = y + np.sin(t)
+            nlat, nlng = _hex2d_to_geo(nx, ny, face, res)
+            idx = latlng_to_cell(np.degrees(nlat), np.degrees(nlng), res)
+            for c, v in zip(fa, idx):
+                if v != c:
+                    neigh_of[int(c)].add(int(v))
+        for m, s in enumerate(frontier):
+            for c in s:
+                nxt[m] |= neigh_of[c]
+            nxt[m] -= out[m]
+            out[m] |= nxt[m]
+        frontier = nxt
+    return out
+
+
 def h3_get_resolution(h: int) -> int:
     return (h >> 52) & 0xF
 

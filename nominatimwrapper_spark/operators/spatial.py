@@ -329,6 +329,181 @@ def tile_rollup_approx(
     )
 
 
+_H3_MIN_SPACING_KM: dict[int, float] = {}
+
+
+def _h3_min_spacing_km(res: int) -> float:
+    """Conservative global minimum center-to-center spacing (km) of the
+    H3 grid at ``res``, sampled once per resolution: 4k random cells plus
+    every pentagon neighborhood (the distortion extremes), min over all
+    neighbor pairs, x0.97 safety. The minimum WIDTH of a (possibly
+    distorted) hexagon equals its center spacing to the neighbor across
+    that edge, so any point r grid steps away is at least
+    r * min_spacing km from the query point — the ring-expansion finish
+    bound."""
+    if res not in _H3_MIN_SPACING_KM:
+        from ..functions.h3 import (
+            PENTAGON_BASE_CELLS,
+            _BASE_CELL_HOME,
+            _hex2d_to_geo,
+            _ijk_to_hex2d,
+            cell_to_latlng,
+            grid_disk,
+            latlng_to_cell,
+        )
+
+        rng = np.random.default_rng(77)
+        z = rng.uniform(-1, 1, 4000)
+        lng = rng.uniform(-180, 180, 4000)
+        lat = np.degrees(np.arcsin(z))
+        plat, plng = [], []
+        for c in PENTAGON_BASE_CELLS:  # pentagon regions explicitly
+            fh, ih, jh, kh = _BASE_CELL_HOME[c]
+            x, y = _ijk_to_hex2d(np.int64(ih), np.int64(jh), np.int64(kh))
+            la, lo = _hex2d_to_geo(np.float64(x), np.float64(y), fh, 0)
+            az = rng.uniform(0, 2 * np.pi, 200)
+            dist = rng.uniform(0, 0.25, 200)
+            from ..functions.h3 import _geo_az_distance
+
+            sl, sn = _geo_az_distance(float(la), float(lo), az, dist)
+            plat.append(np.degrees(sl))
+            plng.append(np.degrees(sn))
+        lat = np.concatenate([lat] + plat)
+        lng = np.concatenate([lng] + plng)
+        cells = np.unique(latlng_to_cell(lat, lng, res))
+        disks = grid_disk(cells, 1)
+        cset = set(int(c) for c in cells)
+        pairs = sorted(
+            {
+                (int(c), n)
+                for c, s in zip(cells, disks)
+                for n in s
+                if n != int(c)
+            }
+        )
+        a = np.array([p[0] for p in pairs], dtype=np.uint64)
+        b = np.array([p[1] for p in pairs], dtype=np.uint64)
+        ala, alo = cell_to_latlng(a)
+        bla, blo = cell_to_latlng(b)
+        r1, r2 = np.radians(ala), np.radians(bla)
+        dlat = np.radians(bla - ala)
+        dlon = np.radians(blo - alo)
+        h = (
+            np.sin(dlat / 2) ** 2
+            + np.cos(r1) * np.cos(r2) * np.sin(dlon / 2) ** 2
+        )
+        d_km = 2 * 6371.0088 * np.arcsin(np.sqrt(np.clip(h, 0, 1)))
+        _H3_MIN_SPACING_KM[res] = float(d_km.min()) * 0.97
+    return _H3_MIN_SPACING_KM[res]
+
+
+def knn_h3(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    target_id: str = "place_id",
+    res: int = 7,
+    max_rings: int = 8,
+    max_query_cells: int = 200_000,
+) -> DataFrame:
+    """kNN via H3 ring expansion (J10/W4 on the real Uber-H3 tiling).
+
+    Same incremental-shell contract as ``knn_cells``: ring r joins only
+    the cells at exactly grid distance r, candidates accumulate, a query
+    finishes once its k-th neighbor is closer than any unsearched cell
+    could be (r * global-min cell spacing). The ring shells come from
+    driver-side ``grid_disk`` over the DISTINCT query cells (the query
+    side is the small side by contract — guarded by ``max_query_cells``)
+    and are broadcast; the target corpus never shuffles.
+    """
+    from ..functions.h3 import grid_disk, h3_cell_col
+
+    t = targets.select(
+        F.col(target_id).alias("_tid"),
+        F.col("lat").alias("_tlat"),
+        F.col("lon").alias("_tlon"),
+        h3_cell_col(F.col("lat"), F.col("lon"), res).alias("_tcell"),
+    )
+    q = queries.withColumn("_qcell", h3_cell_col(F.col("lat"), F.col("lon"), res))
+
+    qcells = [
+        r[0]
+        for r in q.select("_qcell").distinct().limit(max_query_cells + 1).collect()
+    ]
+    if len(qcells) > max_query_cells:
+        raise ValueError(
+            f"knn_h3: > {max_query_cells} distinct query cells; use a "
+            "coarser res or knn_cells for query sets this large"
+        )
+    qarr = np.array(qcells, dtype=np.uint64)
+    disks = [grid_disk(qarr, r) for r in range(max_rings + 1)]
+    spark = queries.sparkSession
+    min_spacing = _h3_min_spacing_km(res)
+
+    remaining = q
+    acc: DataFrame | None = None
+    done_parts: list[DataFrame] = []
+    for r in range(max_rings + 1):
+        rows = []
+        for ci, c in enumerate(qcells):
+            shell = disks[r][ci] - (disks[r - 1][ci] if r else set())
+            rows.extend((int(c), int(s)) for s in shell)
+        if not rows:
+            break
+        ring_map = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["_qcell", "_cell"])
+        )
+        shell_df = (
+            remaining.join(F.broadcast(ring_map), on="_qcell", how="inner")
+            .join(F.broadcast(t), F.col("_cell") == t._tcell, "inner")
+            .withColumn(
+                "dist_km",
+                F.round(
+                    haversine_col(
+                        F.col("lat"), F.col("lon"), F.col("_tlat"), F.col("_tlon")
+                    ),
+                    9,
+                ),
+            )
+            .drop("_cell", "_tcell", "_tlat", "_tlon")
+        )
+        acc = shell_df if acc is None else acc.unionByName(shell_df)
+        acc = acc.localCheckpoint(eager=True)
+
+        wnd = Window.partitionBy(query_id).orderBy(
+            F.col("dist_km").asc(), F.col("_tid").asc()
+        )
+        topk = acc.withColumn("knn_rank", F.row_number().over(wnd)).filter(
+            F.col("knn_rank") <= k
+        )
+        kth = topk.groupBy(query_id).agg(
+            F.max("dist_km").alias("_kth"), F.count("*").alias("_n")
+        )
+        finished_keys = kth.filter(
+            (F.col("_n") >= k) & (F.col("_kth") <= F.lit(r * min_spacing))
+        ).select(query_id)
+        if r == max_rings:
+            finished_keys = kth.select(query_id)
+        finished = topk.join(finished_keys, on=query_id, how="inner")
+        done_parts.append(
+            finished.drop("_qcell")
+            .withColumnRenamed("_tid", "neighbor_id")
+            .localCheckpoint(eager=True)
+        )
+        remaining = remaining.join(
+            finished_keys, on=query_id, how="left_anti"
+        ).localCheckpoint(eager=True)
+        if remaining.isEmpty():
+            break
+        acc = acc.join(finished_keys, on=query_id, how="left_anti")
+
+    out = done_parts[0]
+    for p_ in done_parts[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
 def multi_zoom_rollup(
     points: DataFrame, cell_expr: Column, parent_expr_fn, levels: list[int]
 ) -> DataFrame:

@@ -577,6 +577,30 @@ def q_knn_cells_grid(spark, sf_dir):
     )
 
 
+def q_knn_h3(spark, sf_dir):
+    """J10 on the real Uber-H3 tiling: grid_disk ring expansion with the
+    same brute-force SQL oracle as knn_cells_grid — the H3 scale path
+    must be value-identical to the exact cross-join answer."""
+    from ..operators.spatial import knn_h3
+
+    q = (
+        _cust_points(spark, sf_dir)
+        .filter(F.col("c_custkey") % 149 == 0)
+        .withColumnRenamed("c_custkey", "query_id")
+    )
+    t = _supp_points(spark, sf_dir)
+    # res 5 / 14 rings: ~200 km guaranteed reach — covers the farthest
+    # 3rd-neighbor in the derived world (~87 km) with margin; a query that
+    # exhausts max_rings returns its bounded-radius results like knn_cells
+    out = knn_h3(q, t, k=3, target_id="s_suppkey", res=5, max_rings=14)
+    return out.select(
+        F.col("query_id").alias("c_custkey"),
+        F.col("neighbor_id").alias("s_suppkey"),
+        "knn_rank",
+        F.round(F.col("dist_km") * 1000).cast("long").alias("dist_m"),
+    )
+
+
 SQL_KNN_CELLS = f"""
 WITH q AS (SELECT * FROM ({_CUST_POINTS_SQL}) WHERE c_custkey % 149 = 0),
      t AS ({_SUPP_POINTS_SQL}),

@@ -219,6 +219,71 @@ def test_icosahedron_invariants():
 
 
 # ---------------------------------------------------------------------------
+# centers + rings
+# ---------------------------------------------------------------------------
+
+
+def test_cell_to_latlng_roundtrip_all_res():
+    """Every cell's reconstructed center re-indexes to itself (centers are
+    interior and exact) — at even and odd (class II/III) resolutions."""
+    lat, lng = _uniform_sphere(20_000)
+    for res in (1, 2, 3, 5, 9):
+        cells = np.unique(H.latlng_to_cell(lat, lng, res))
+        clat, clng = H.cell_to_latlng(cells)
+        assert (H.latlng_to_cell(clat, clng, res) == cells).all(), res
+
+
+def test_cell_to_latlng_published_center():
+    """h3-py docs: cell_to_latlng('85283473fffffff') ==
+    (37.34579337536848, -121.97637597255124) — reproduced to float
+    precision by the candidate-descent walk (which never saw it)."""
+    clat, clng = H.cell_to_latlng(np.array([0x85283473FFFFFFF], dtype=np.uint64))
+    assert abs(clat[0] - 37.34579337536848) < 1e-9
+    assert abs(clng[0] - (-121.97637597255124)) < 1e-9
+
+
+def test_grid_disk_published_example():
+    """h3-py docs: grid_disk('8928308280fffff', 1) — exact set match."""
+    want = {
+        0x8928308280FFFFF, 0x8928308280BFFFF, 0x89283082807FFFF,
+        0x89283082877FFFF, 0x89283082803FFFF, 0x89283082873FFFF,
+        0x8928308283BFFFF,
+    }
+    got = H.grid_disk(np.array([0x8928308280FFFFF], dtype=np.uint64), 1)[0]
+    assert got == want
+
+
+def test_grid_disk_invariants():
+    lat, lng = _uniform_sphere(3000)
+    cells = np.unique(H.latlng_to_cell(lat, lng, 3))[:400]
+    disks = H.grid_disk(cells, k=1)
+    dmap = {int(c): s for c, s in zip(cells, disks)}
+    for c, s in dmap.items():
+        assert len(s) == (6 if H.h3_is_pentagon(c) else 7)
+        for b in s:  # symmetry where both disks exist
+            if b in dmap:
+                assert c in dmap[b]
+    # k=2 disks: 19 cells for interior hexagons
+    d2 = H.grid_disk(cells[:40], k=2)
+    for c, s in zip(cells[:40], d2):
+        if not H.h3_is_pentagon(int(c)):
+            assert 17 <= len(s) <= 19  # 19 unless a pentagon is adjacent
+
+
+def test_grid_disk_pentagon_has_five_neighbors():
+    # res-2 pentagon: center child chain of a pentagon base cell
+    pent0 = (np.uint64(1) << np.uint64(59)) | (np.uint64(4) << np.uint64(45)) | np.uint64((1 << 45) - 1)
+    # descend to res 2 via digits 0 (center child stays pentagonal)
+    h2 = int(pent0)
+    h2 = (h2 & ~(0xF << 52)) | (2 << 52)
+    h2 &= ~(0x7 << ((15 - 1) * 3))
+    h2 &= ~(0x7 << ((15 - 2) * 3))
+    assert H.h3_is_pentagon(h2)
+    disk = H.grid_disk(np.array([h2], dtype=np.uint64), 1)[0]
+    assert len(disk) == 6  # origin + 5 neighbors
+
+
+# ---------------------------------------------------------------------------
 # Spark surface
 # ---------------------------------------------------------------------------
 

@@ -150,6 +150,25 @@ def test_knn_cells_matches_bruteforce(spark, world):
     pd.testing.assert_frame_equal(bf, cc)
 
 
+def test_knn_h3_matches_bruteforce(spark, world):
+    """J10 on the real Uber-H3 tiling: ring expansion over grid_disk
+    shells equals exact brute force."""
+    from nominatimwrapper_spark.operators.spatial import knn_h3
+
+    gaz = spark.read.parquet(f"{world['_dir']}/gazetteer.parquet")
+    targets = gaz.filter(F.col("place_rank") == 30).select("place_id", "lat", "lon")
+    qpdf = world["gazetteer"][world["gazetteer"].place_rank == 26].head(40)[
+        ["place_id", "lat", "lon"]
+    ].rename(columns={"place_id": "query_id"})
+    queries = spark.createDataFrame(qpdf)
+
+    bf = knn_bruteforce(queries, targets, k=3).select("query_id", "neighbor_id", "knn_rank").toPandas()
+    h3r = knn_h3(queries, targets, k=3, res=7).select("query_id", "neighbor_id", "knn_rank").toPandas()
+    bf = bf.sort_values(["query_id", "knn_rank"]).reset_index(drop=True)
+    h3r = h3r.sort_values(["query_id", "knn_rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(bf, h3r)
+
+
 def test_tile_rollup_approx_within_error(spark, world):
     """HLL sketch path: per-cell approx distinct within the configured
     relative error of the exact distinct, exact row counts untouched."""
