@@ -158,6 +158,47 @@ def test_streaming_geocode_matches_batch_and_resumes(spark, tmp_path):
     )
 
 
+def test_geocode_job_cli_direct_file_launch(spark, tmp_path):
+    """The launcher must work when the FILE is executed directly with no
+    package context — exactly how `spark-submit path/to/geocode_job.py`
+    runs it (round-2 review: the old relative imports died there). Runs
+    the real CLI end-to-end in a subprocess on a one-partition world."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from nominatimwrapper_spark.plans.flagship import (
+        pages_from_documents,
+        world_dir,
+    )
+    from nominatimwrapper_spark.sources.pages_io import write_pages_partitioned
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001").limit(60)
+    pages_dir = str(tmp_path / "pages")
+    write_pages_partitioned(pages, pages_dir)
+    out = str(tmp_path / "out")
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", SPARK_DRIVER_MEMORY="2g")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(os.path.dirname(__file__), "..",
+                         "nominatimwrapper_spark", "jobs", "geocode_job.py"),
+            "--pages", pages_dir,
+            "--gazetteer", f"{world_dir()}/gazetteer.parquet",
+            "--out", out,
+        ],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "partitions computed=1" in proc.stdout
+    parts = [d for d in os.listdir(out) if d.startswith("part=")]
+    assert len(parts) == 1
+    man = json.load(open(os.path.join(out, parts[0], "_manifest.json")))
+    assert man["rows_out"] > 0
+
+
 def test_geocode_job_partitioned_resume(spark, tmp_path):
     """The spark-submit job shape: per-crawl-date partitions through the
     S7 checkpointer. Run -> all computed; rerun -> all resumed (zero
