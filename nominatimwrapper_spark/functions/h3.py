@@ -1204,6 +1204,68 @@ def grid_disk(cells, k: int = 1) -> list[set[int]]:
     return out
 
 
+def polygon_to_cells(ring_xy, res: int, ring_offsets=None) -> np.ndarray:
+    """polygonToCells (center-containment polyfill): all cells at ``res``
+    whose CENTER lies inside the polygon — H3's published fill semantics.
+
+    ring_xy: flat [x0, y0, x1, y1, ...] (lon/lat degrees) outer ring,
+    optionally followed by hole rings delimited by ``ring_offsets``
+    (FIXTURES.md §4 packed-polygon layout, same as the PIP operator).
+
+    Candidate cells come from a lat/lon sample lattice over the bbox with
+    step < the minimum cell width, so every cell intersecting the bbox is
+    hit by at least one sample; exact centers (cell_to_latlng) then go
+    through the same even-odd ray cast the PIP join uses. Driver-side
+    numpy — polygons are the small side by contract (the PIP pattern);
+    the result is the broadcastable (cell -> polygon) index."""
+    xy = np.asarray(ring_xy, dtype=np.float64)
+    offs = list(ring_offsets) if ring_offsets is not None else [0, len(xy)]
+    xs_all = xy[0::2]
+    ys_all = xy[1::2]
+    minx, maxx = xs_all.min(), xs_all.max()
+    miny, maxy = ys_all.min(), ys_all.max()
+
+    # sample step: min cell width at res in degrees latitude, with margin.
+    # 0.4/sqrt7^res rad is the average center spacing; x0.5 covers the
+    # worst-case distorted (smallest) cells
+    step_deg = np.degrees(0.4 / _SQRT7 ** res) * 0.5
+    pad = step_deg
+    gx = np.arange(minx - pad, maxx + pad, step_deg)
+    gy = np.arange(miny - pad, maxy + pad, step_deg)
+    if len(gx) * len(gy) > 30_000_000:
+        raise ValueError(
+            "polygon_to_cells: bbox x res implies >30M samples; use a "
+            "coarser res or split the polygon"
+        )
+    mlon, mlat = np.meshgrid(gx, gy)
+    cand = np.unique(latlng_to_cell(mlat.ravel(), mlon.ravel(), res))
+
+    clat, clng = cell_to_latlng(cand)
+
+    def _inside(px, py):
+        inside = np.zeros(len(px), dtype=bool)
+        for ri in range(len(offs) - 1):
+            ring = xy[offs[ri] : offs[ri + 1]]
+            rx = ring[0::2]
+            ry = ring[1::2]
+            x2 = np.roll(rx, -1)
+            y2 = np.roll(ry, -1)
+            for e in range(len(rx)):
+                straddle = (ry[e] > py) != (y2[e] > py)
+                if not straddle.any():
+                    continue
+                xi = rx[e] + (py[straddle] - ry[e]) / (y2[e] - ry[e]) * (
+                    x2[e] - rx[e]
+                )
+                upd = np.zeros(len(px), dtype=bool)
+                upd[straddle] = xi > px[straddle]
+                inside ^= upd
+        return inside
+
+    keep = _inside(clng, clat)
+    return cand[keep]
+
+
 def h3_get_resolution(h: int) -> int:
     return (h >> 52) & 0xF
 

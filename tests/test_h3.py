@@ -283,6 +283,27 @@ def test_grid_disk_pentagon_has_five_neighbors():
     assert len(disk) == 6  # origin + 5 neighbors
 
 
+def test_polygon_to_cells_center_containment():
+    """polygonToCells fill semantics: every returned center inside the
+    polygon (holes excluded), and every cell whose area lies strictly in
+    the interior present — only boundary cells (center outside) may be
+    absent, by definition of center containment."""
+    ring = [4.0, 50.5, 5.0, 50.5, 5.0, 51.1, 4.0, 51.1,
+            4.4, 50.7, 4.6, 50.7, 4.6, 50.9, 4.4, 50.9]
+    cells = H.polygon_to_cells(ring, 6, [0, 8, 16])
+    assert len(cells) > 100
+    clat, clng = H.cell_to_latlng(cells)
+    assert ((clng >= 4.0) & (clng <= 5.0) & (clat >= 50.5) & (clat <= 51.1)).all()
+    assert not ((clng > 4.4) & (clng < 4.6) & (clat > 50.7) & (clat < 50.9)).any()
+
+    rng = np.random.default_rng(3)
+    plon = rng.uniform(4.05, 4.95, 20000)
+    plat = rng.uniform(50.55, 51.05, 20000)
+    interior = ~((plon > 4.35) & (plon < 4.65) & (plat > 50.65) & (plat < 50.95))
+    pc = H.latlng_to_cell(plat[interior], plon[interior], 6)
+    assert not ({int(c) for c in np.unique(pc)} - {int(c) for c in cells})
+
+
 # ---------------------------------------------------------------------------
 # Spark surface
 # ---------------------------------------------------------------------------
