@@ -1266,6 +1266,69 @@ def polygon_to_cells(ring_xy, res: int, ring_offsets=None) -> np.ndarray:
     return cand[keep]
 
 
+def uncompact_cells(cells, res: int) -> set[int]:
+    """All res-``res`` descendants of each (coarser or equal) cell — pure
+    index math: append every digit combination, skipping the deleted K
+    child inside pentagon subtrees (a cell whose digits are all zero in a
+    pentagon base cell is itself a pentagon and has six children)."""
+    out: set[int] = set()
+
+    def children(h: int) -> list[int]:
+        r = h3_get_resolution(h)
+        pent = h3_is_pentagon(h)
+        base = h & ~(0xF << 52) | ((r + 1) << 52)
+        shift = (MAX_RES - (r + 1)) * 3
+        kids = []
+        for d in range(7):
+            if pent and d == 1:
+                continue  # deleted K subsequence
+            kids.append((base & ~(0x7 << shift)) | (d << shift))
+        return kids
+
+    stack = [int(c) for c in cells]
+    for h in stack:
+        if h3_get_resolution(h) > res:
+            raise ValueError("uncompact_cells: cell finer than target res")
+    while stack:
+        h = stack.pop()
+        if h3_get_resolution(h) == res:
+            out.add(h)
+        else:
+            stack.extend(children(h))
+    return out
+
+
+def compact_cells(cells) -> set[int]:
+    """Minimal mixed-resolution cover of a same-resolution cell set
+    (compactCells): any complete sibling group — 7 children, 6 for a
+    pentagon parent — collapses to its parent, repeatedly."""
+    cur = {int(c) for c in cells}
+    if not cur:
+        return cur
+    res = {h3_get_resolution(h) for h in cur}
+    if len(res) != 1:
+        raise ValueError("compact_cells: input must be single-resolution")
+    r = res.pop()
+    out: set[int] = set()
+    while r > 0 and cur:
+        groups: dict[int, list[int]] = {}
+        for h in cur:
+            p = (h & ~(0xF << 52)) | ((r - 1) << 52)
+            p |= 0x7 << ((MAX_RES - r) * 3)
+            groups.setdefault(p, []).append(h)
+        nxt = set()
+        for p, kids in groups.items():
+            need = 6 if h3_is_pentagon(p) else 7
+            if len(kids) == need:
+                nxt.add(p)
+            else:
+                out.update(kids)
+        cur = nxt
+        r -= 1
+    out.update(cur)
+    return out
+
+
 def h3_get_resolution(h: int) -> int:
     return (h >> 52) & 0xF
 

@@ -304,6 +304,28 @@ def test_polygon_to_cells_center_containment():
     assert not ({int(c) for c in np.unique(pc)} - {int(c) for c in cells})
 
 
+def test_compact_uncompact_roundtrip():
+    """compactCells/uncompactCells: the compacted cover of a polyfill
+    uncompacts to exactly the original set, is strictly smaller, and a
+    full sibling set collapses to its parent."""
+    ring = [4.0, 50.5, 5.0, 50.5, 5.0, 51.1, 4.0, 51.1]
+    cells = {int(c) for c in H.polygon_to_cells(ring, 6)}
+    comp = H.compact_cells(cells)
+    assert len(comp) < len(cells)
+    assert H.uncompact_cells(comp, 6) == cells
+    # a complete sibling group compacts to its parent
+    parent = 0x85283473FFFFFFF
+    kids = H.uncompact_cells([parent], 6)
+    assert len(kids) == 7
+    assert H.compact_cells(kids) == {parent}
+    # pentagon subtree: 6 children, no leading-K child
+    pent0 = (1 << 59) | (4 << 45) | ((1 << 45) - 1)
+    pkids = H.uncompact_cells([pent0], 1)
+    assert len(pkids) == 6
+    assert H.compact_cells(pkids) == {pent0}
+    assert all(H.h3_digit(k, 1) != 1 or not H.h3_is_pentagon(pent0) for k in pkids)
+
+
 # ---------------------------------------------------------------------------
 # Spark surface
 # ---------------------------------------------------------------------------
