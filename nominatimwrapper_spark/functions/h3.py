@@ -1286,9 +1286,17 @@ def uncompact_cells(cells, res: int) -> set[int]:
         return kids
 
     stack = [int(c) for c in cells]
+    est = 0
     for h in stack:
-        if h3_get_resolution(h) > res:
+        r0 = h3_get_resolution(h)
+        if r0 > res:
             raise ValueError("uncompact_cells: cell finer than target res")
+        est += 7 ** (res - r0)
+    if est > 10_000_000:
+        raise ValueError(
+            f"uncompact_cells: ~{est} output cells; refuse to materialize "
+            ">10M driver-side — uncompact distributed (explode) instead"
+        )
     while stack:
         h = stack.pop()
         if h3_get_resolution(h) == res:
