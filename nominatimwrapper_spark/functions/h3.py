@@ -1306,6 +1306,69 @@ def uncompact_cells(cells, res: int) -> set[int]:
     return out
 
 
+def uncompact_cells_col(cell_col: Column, res: int, max_levels: int = 6) -> Column:
+    """Distributed uncompact: array<long> of all res-``res`` descendants of
+    a (possibly coarser) cell Column — the scale path the driver-side
+    guard points at. Pure Column math: one explode-able array built by
+    repeatedly appending the 3-bit digit per level (7-way fan-out per
+    level, K-children of pentagon prefixes excluded); cap the fan-out at
+    ``max_levels`` (7^6 ≈ 118k children per row) to keep single-row
+    output bounded. Cells more than ``max_levels`` coarser than ``res``
+    remain in the array UN-EXPANDED (still at their coarser resolution):
+    re-apply the function to finish, or raise ``max_levels`` when the
+    per-row fan-out is acceptable."""
+    cur = F.array(cell_col.cast("long"))
+    for _ in range(max_levels):
+        step = F.transform(
+            cur,
+            lambda h: F.when(
+                F.shiftrightunsigned(h, 52).bitwiseAND(F.lit(0xF)) >= F.lit(res),
+                F.array(h),
+            ).otherwise(_children_col(h)),
+        )
+        cur = F.flatten(step)
+    return F.array_distinct(cur)
+
+
+def _children_col(h: Column) -> Column:
+    """array<long> of the direct children of cell Column ``h`` (pentagon
+    prefixes skip the K child) — helper for uncompact_cells_col."""
+    # F.shiftleft only takes literal shift counts; dynamic shifts are done
+    # as exact power-of-two multiplication (every value here < 2^53, so
+    # the double intermediate is exact)
+    r = F.shiftrightunsigned(h, 52).bitwiseAND(F.lit(0xF)).cast("long")
+    child_r = r + F.lit(1).cast("long")
+    base = h.bitwiseAND(F.lit(~(0xF << 52))).bitwiseOR(
+        (child_r.cast("double") * F.lit(float(1 << 52))).cast("long")
+    )
+    shift = ((F.lit(MAX_RES).cast("long") - child_r) * 3).cast("double")
+    pow_shift = F.pow(F.lit(2.0), shift)
+    pent_bc = F.array(*[F.lit(int(c)) for c in PENTAGON_BASE_CELLS])
+    bc = F.shiftrightunsigned(h, 45).bitwiseAND(F.lit(0x7F))
+    # h is a pentagon iff its base cell is pentagonal AND every digit
+    # 1..r is zero — digits beyond r are all 7s in a valid index, so the
+    # digit field must equal exactly the below-res fill
+    digit_bits = F.lit((1 << 45) - 1).cast("long")
+    fill_below = (
+        F.pow(F.lit(2.0), ((F.lit(MAX_RES).cast("long") - r) * 3).cast("double"))
+        .cast("long")
+        - F.lit(1).cast("long")
+    )
+    is_pent = F.array_contains(pent_bc, bc) & (
+        h.bitwiseAND(digit_bits) == fill_below
+    )
+    digits = F.when(is_pent, F.array(*[F.lit(d) for d in [0, 2, 3, 4, 5, 6]])).otherwise(
+        F.array(*[F.lit(d) for d in range(7)])
+    )
+    mask = (F.lit(7.0) * pow_shift).cast("long")
+    return F.transform(
+        digits,
+        lambda d: base.bitwiseAND(F.bitwise_not(mask)).bitwiseOR(
+            (d.cast("double") * pow_shift).cast("long")
+        ),
+    )
+
+
 def compact_cells(cells) -> set[int]:
     """Minimal mixed-resolution cover of a same-resolution cell set
     (compactCells): any complete sibling group — 7 children, 6 for a

@@ -326,6 +326,25 @@ def test_compact_uncompact_roundtrip():
     assert all(H.h3_digit(k, 1) != 1 or not H.h3_is_pentagon(pent0) for k in pkids)
 
 
+def test_uncompact_cells_col_distributed(spark):
+    """The Column-math uncompact equals the driver-side one — including
+    the pentagon deleted-K child skip — and is a same-res identity."""
+    from pyspark.sql import functions as F
+
+    parent = 0x85283473FFFFFFF
+    pent0 = (1 << 59) | (4 << 45) | ((1 << 45) - 1)
+    df = spark.createDataFrame([(parent,), (pent0,)], "cell long")
+    got = df.select(
+        F.explode(H.uncompact_cells_col(F.col("cell"), 7, max_levels=7)).alias("c")
+    ).toPandas()
+    want = H.uncompact_cells([parent], 7) | H.uncompact_cells([pent0], 7)
+    assert set(got.c) == want
+    got2 = df.filter(F.col("cell") == parent).select(
+        F.explode(H.uncompact_cells_col(F.col("cell"), 5)).alias("c")
+    ).toPandas()
+    assert set(got2.c) == {parent}
+
+
 # ---------------------------------------------------------------------------
 # Spark surface
 # ---------------------------------------------------------------------------
