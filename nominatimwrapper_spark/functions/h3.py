@@ -1418,5 +1418,17 @@ def h3_is_pentagon(h: int) -> bool:
     return all(h3_digit(h, r) == 0 for r in range(1, res + 1))
 
 
+def h3_center_child(h: int, child_res: int) -> int:
+    """Center child at ``child_res``: bump the res field and zero the new
+    digits (reference surface: h3geo cellToCenterChild). Pure bit math."""
+    res = h3_get_resolution(h)
+    if child_res < res:
+        raise ValueError("child_res must be >= cell res")
+    out = (h & ~(0xF << 52)) | (child_res << 52)
+    for r in range(res + 1, child_res + 1):
+        out &= ~(0x7 << ((MAX_RES - r) * 3))
+    return out
+
+
 def h3_to_string(h: int) -> str:
     return format(h, "x")
