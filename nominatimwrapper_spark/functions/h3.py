@@ -1162,30 +1162,28 @@ def cell_to_latlng(cells) -> tuple[np.ndarray, np.ndarray]:
     return np.degrees(lat), np.degrees(lng)
 
 
-def grid_disk(cells, k: int = 1) -> list[set[int]]:
-    """k-ring neighborhoods (grid_disk semantics: all cells within k grid
-    steps, origin included) for an array of same-resolution H3 indexes.
+_NEIGHBOR_CACHE: dict[int, set[int]] = {}
+
+
+def grid_neighbors(cells) -> dict[int, set[int]]:
+    """Direct (grid-distance-1) neighbors of each input cell, batched.
 
     Neighbors are found geometrically from EXACT centers: step one grid
-    spacing along the six local hex axes of the origin's closest-face
+    spacing along the six local hex axes of the cell's closest-face
     chart and index the landing points with the production pipeline —
     interior landings make this exact for hexagons, and pentagon origins
     simply yield their five distinct neighbors (the sixth step lands in
-    an already-found cell). BFS over rings for k > 1."""
-    h = np.asarray(cells, dtype=np.uint64)
-    out = [set([int(c)]) for c in h]
-    frontier = [set([int(c)]) for c in h]
-    for _ in range(k):
-        nxt = [set() for _ in h]
-        flat = sorted({c for s in frontier for c in s})
-        if not flat:
-            break
-        fa = np.array(flat, dtype=np.uint64)
+    an already-found cell). Results are memoized (a BFS frontier revisits
+    boundary cells of the previous ring)."""
+    flat = sorted({int(c) for c in np.asarray(cells, dtype=np.uint64)})
+    todo = [c for c in flat if c not in _NEIGHBOR_CACHE]
+    if todo:
+        fa = np.array(todo, dtype=np.uint64)
         res = int((fa[0] >> np.uint64(52)) & np.uint64(0xF))
         lat, lng = cell_to_latlng(fa)
         latr, lngr = np.radians(lat), np.radians(lng)
         face, x, y = _geo_to_hex2d(latr, lngr, res)
-        neigh_of: dict[int, set[int]] = {int(c): set() for c in flat}
+        neigh_of: dict[int, set[int]] = {c: set() for c in todo}
         for ang in range(6):
             t = ang * np.pi / 3.0
             nx = x + np.cos(t)
@@ -1195,12 +1193,118 @@ def grid_disk(cells, k: int = 1) -> list[set[int]]:
             for c, v in zip(fa, idx):
                 if v != c:
                     neigh_of[int(c)].add(int(v))
+        if len(_NEIGHBOR_CACHE) > 2_000_000:  # bound driver memory
+            _NEIGHBOR_CACHE.clear()
+        _NEIGHBOR_CACHE.update(neigh_of)
+    return {c: _NEIGHBOR_CACHE[c] for c in flat}
+
+
+def grid_rings(cells, k: int = 1) -> list[list[set[int]]]:
+    """Per-origin ring structure: out[i][r] = the set of cells at grid
+    distance exactly r from origin i, for r in 0..k. BFS over the batched
+    ``grid_neighbors`` step."""
+    h = np.asarray(cells, dtype=np.uint64)
+    rings = [[set([int(c)])] for c in h]
+    seen = [set([int(c)]) for c in h]
+    frontier = [set([int(c)]) for c in h]
+    for _ in range(k):
+        flat = {c for s in frontier for c in s}
+        if not flat:
+            for m in range(len(h)):
+                rings[m].append(set())
+            continue
+        neigh_of = grid_neighbors(np.array(sorted(flat), dtype=np.uint64))
+        nxt = [set() for _ in h]
         for m, s in enumerate(frontier):
             for c in s:
                 nxt[m] |= neigh_of[c]
-            nxt[m] -= out[m]
-            out[m] |= nxt[m]
+            nxt[m] -= seen[m]
+            seen[m] |= nxt[m]
+            rings[m].append(nxt[m])
         frontier = nxt
+    return rings
+
+
+def grid_disk(cells, k: int = 1) -> list[set[int]]:
+    """k-ring neighborhoods (grid_disk semantics: all cells within k grid
+    steps, origin included) for an array of same-resolution H3 indexes."""
+    out = []
+    for per_origin in grid_rings(cells, k):
+        s: set[int] = set()
+        for ring in per_origin:
+            s |= ring
+        out.append(s)
+    return out
+
+
+def cell_to_boundary(cells) -> list[np.ndarray]:
+    """Cell boundary polygons (reference surface: h3geo cellToBoundary).
+
+    Returns one (n_verts, 2) float array of (lat_deg, lng_deg) rows per
+    input cell, in counter-clockwise order — 6 vertices for hexagons, 5
+    for pentagons.
+
+    Each vertex is the shared corner of three mutually-adjacent cells and
+    is computed as the centroid of their three exact centers in hex2d
+    coordinates of a COMMON chart (the face closest to the 3-center mean
+    direction — a symmetric, deterministic choice). On a single face the
+    hex lattice is perfectly regular, so the 3-center centroid IS the
+    exact corner; the chart choice being symmetric in the three owners
+    means adjacent cells reproduce the shared vertex bit-identically, so
+    the tiling is WATERTIGHT by construction (gate: the spherical areas
+    of all res-1 cells sum to exactly 4*pi). Near icosahedron seams the
+    true H3 boundary adds gnomonic distortion vertices on the face edge
+    which this construction smooths through — documented approximation;
+    the watertight property and center containment still hold.
+
+    Driver-side numpy over moderate cell sets (rendering, PIP covers,
+    reach calibration) — same contract as cell_to_latlng."""
+    h = np.asarray(cells, dtype=np.uint64)
+    if not len(h):
+        return []
+    disks = grid_disk(h, 1)
+    all_cells = np.array(
+        sorted({int(c) for c in h} | {c for s in disks for c in s}),
+        dtype=np.uint64,
+    )
+    alat, alng = cell_to_latlng(all_cells)
+    pos = {int(c): i for i, c in enumerate(all_cells)}
+    axyz = _geo_to_xyz(np.radians(alat), np.radians(alng))
+    res = int((h[0] >> np.uint64(52)) & np.uint64(0xF))
+
+    out: list[np.ndarray] = []
+    for ci, c in enumerate(h):
+        c = int(c)
+        neigh = sorted(disks[ci] - {c})
+        ic = pos[c]
+        # order neighbors counter-clockwise by azimuth from the center
+        az = np.array(
+            [
+                _azimuth(
+                    np.radians(alat[ic]), np.radians(alng[ic]),
+                    np.radians(alat[pos[n]]), np.radians(alng[pos[n]]),
+                )
+                for n in neigh
+            ]
+        )
+        order = np.argsort(-az)  # azimuth is clockwise-from-north; negate for CCW
+        ring = [neigh[o] for o in order]
+        verts = []
+        for vi in range(len(ring)):
+            a, b = ring[vi], ring[(vi + 1) % len(ring)]
+            trip = np.array([ic, pos[a], pos[b]])
+            mean = axyz[trip].mean(axis=0)
+            mean /= np.linalg.norm(mean)
+            vface = int(_closest_face(mean[None, :])[0])
+            _, x2, y2 = _geo_to_hex2d(
+                np.radians(alat[trip]), np.radians(alng[trip]), res,
+                face=np.full(3, vface),
+            )
+            vlat, vlng = _hex2d_to_geo(
+                np.float64(x2.mean()), np.float64(y2.mean()), vface, res
+            )
+            verts.append((np.degrees(float(vlat)), np.degrees(float(vlng))))
+        out.append(np.array(verts, dtype=np.float64))
     return out
 
 

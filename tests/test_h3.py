@@ -478,3 +478,106 @@ def test_parent_sql_twin_matches_column():
         for c in cells
     ]
     assert [g[0] for g in got] == want
+
+
+# ---------------------------------------------------------------------------
+# cell_to_boundary
+# ---------------------------------------------------------------------------
+
+
+def _sph_area(verts_latlng):
+    """Spherical polygon area (steradians) via a signed triangle fan
+    (Eriksson's tan(E/2) formula), vertices in (lat_deg, lng_deg) rows."""
+    v = np.radians(np.asarray(verts_latlng, dtype=np.float64))
+    xyz = np.stack(
+        [
+            np.cos(v[:, 0]) * np.cos(v[:, 1]),
+            np.cos(v[:, 0]) * np.sin(v[:, 1]),
+            np.sin(v[:, 0]),
+        ],
+        axis=1,
+    )
+    c = xyz.mean(axis=0)
+    c /= np.linalg.norm(c)
+    total = 0.0
+    n = len(xyz)
+    for i in range(n):
+        a, b = xyz[i], xyz[(i + 1) % n]
+        num = np.dot(c, np.cross(a, b))
+        den = 1.0 + np.dot(c, a) + np.dot(a, b) + np.dot(b, c)
+        total += 2.0 * np.arctan2(num, den)
+    return abs(total)
+
+
+def test_cell_to_boundary_published_example():
+    """Pin against the h3-py docs cellToBoundary('85283473fffffff')
+    example output (lat, lng vertex tuples, CCW). The cell lies entirely
+    inside face 7, where the 3-center-centroid construction is exact."""
+    want = [
+        (37.271355866731895, -121.91508032705622),
+        (37.353926450852256, -121.86222328902491),
+        (37.428341186843675, -121.92354999630156),
+        (37.42012867767779, -122.03773496427027),
+        (37.33755608435299, -122.090428929044),
+        (37.26319797461824, -122.02910130918998),
+    ]
+    got = H.cell_to_boundary(np.array([0x85283473FFFFFFF], dtype=np.uint64))[0]
+    assert len(got) == 6
+    # rotation-align: find the offset matching the first published vertex
+    d0 = np.argmin([abs(g[0] - want[0][0]) + abs(g[1] - want[0][1]) for g in got])
+    for i, (wla, wlo) in enumerate(want):
+        g = got[(d0 + i) % 6]
+        assert abs(g[0] - wla) < 1e-7 and abs(g[1] - wlo) < 1e-7, (i, g)
+
+
+def test_cell_to_boundary_counts_and_containment():
+    """Hexagons have 6 vertices, pentagons 5; every cell center is inside
+    its own boundary polygon (planar ray cast is valid at cell scale)."""
+    lat, lng = _uniform_sphere(200)
+    cells = np.unique(H.latlng_to_cell(lat, lng, 4))
+    pent = np.array([0x821C07FFFFFFFFF], dtype=np.uint64)  # res-2 pentagon, bc 14
+    bs = H.cell_to_boundary(cells)
+    cla, clo = H.cell_to_latlng(cells)
+    for i, b in enumerate(bs):
+        assert len(b) == (5 if H.h3_is_pentagon(int(cells[i])) else 6)
+        # unwrap vertex longitudes around the center (antimeridian cells)
+        xs = clo[i] + (b[:, 1] - clo[i] + 180.0) % 360.0 - 180.0
+        ys = b[:, 0]
+        x2, y2 = np.roll(xs, -1), np.roll(ys, -1)
+        straddle = (ys > cla[i]) != (y2 > cla[i])
+        xi = xs[straddle] + (cla[i] - ys[straddle]) / (y2[straddle] - ys[straddle]) * (
+            x2[straddle] - xs[straddle]
+        )
+        assert np.count_nonzero(xi > clo[i]) % 2 == 1, int(cells[i])
+    bp = H.cell_to_boundary(pent)[0]
+    assert len(bp) == 5
+
+
+def test_cell_to_boundary_watertight_area_checksum():
+    """The strongest boundary gate: vertices are computed symmetrically
+    from the 3 owning cells, so adjacent cells reproduce shared corners
+    bit-identically and the tiling is watertight — the spherical areas of
+    ALL 842 res-1 cells must sum to exactly 4*pi (the geodesic edge
+    between two shared endpoints is common to both cells)."""
+    lat, lng = _uniform_sphere(60_000)
+    cells = np.unique(H.latlng_to_cell(lat, lng, 1))
+    assert len(cells) == 842  # precondition: full coverage at res 1
+    bs = H.cell_to_boundary(cells)
+    total = sum(_sph_area(b) for b in bs)
+    assert abs(total - 4 * np.pi) < 1e-9 * 4 * np.pi
+
+
+def test_cell_to_boundary_adjacent_share_edge():
+    """Neighboring cells share exactly two bit-identical vertices."""
+    cells = np.array([0x8928308280FFFFF], dtype=np.uint64)
+    d = H.grid_disk(cells, 1)[0] - {int(cells[0])}
+    b0 = H.cell_to_boundary(cells)[0]
+    for n in sorted(d):
+        bn = H.cell_to_boundary(np.array([n], dtype=np.uint64))[0]
+        shared = sum(
+            1
+            for v in b0
+            for w in bn
+            if abs(v[0] - w[0]) < 1e-11 and abs(v[1] - w[1]) < 1e-11
+        )
+        assert shared == 2, n
