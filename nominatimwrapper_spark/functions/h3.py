@@ -1115,13 +1115,20 @@ def cell_to_latlng(cells) -> tuple[np.ndarray, np.ndarray]:
             for m in np.where(~found)[0]:
                 px, py = _ijk_to_hex2d(i[m : m + 1], j[m : m + 1], k[m : m + 1])
                 plat, plng = _hex2d_to_geo(px, py, face[m : m + 1], r - 1)
-                az = rng_fb.uniform(0, 2 * np.pi, 400)
-                dist = rng_fb.uniform(0, 1, 400) ** 0.5 * 3.2 * spacing
-                slat, slng = _geo_az_distance(
-                    np.float64(plat[0]), np.float64(plng[0]), az, dist
-                )
-                idx = latlng_to_cell(np.degrees(slat), np.degrees(slng), r)
-                hits = np.where(idx == want[m])[0]
+                # escalating sample rounds: a child sliver pinched between
+                # fold charts can occupy <0.1% of the parent disk, so a
+                # single fixed-size round occasionally misses it
+                hits = np.array([], dtype=np.int64)
+                for n_s, radius in ((400, 3.2), (3200, 3.6), (25600, 4.5)):
+                    az = rng_fb.uniform(0, 2 * np.pi, n_s)
+                    dist = rng_fb.uniform(0, 1, n_s) ** 0.5 * radius * spacing
+                    slat, slng = _geo_az_distance(
+                        np.float64(plat[0]), np.float64(plng[0]), az, dist
+                    )
+                    idx = latlng_to_cell(np.degrees(slat), np.degrees(slng), r)
+                    hits = np.where(idx == want[m])[0]
+                    if len(hits):
+                        break
                 if len(hits):
                     t = hits[0]
                     pf = int(_closest_face(_geo_to_xyz(slat[t], slng[t])))
@@ -1159,6 +1166,98 @@ def cell_to_latlng(cells) -> tuple[np.ndarray, np.ndarray]:
 
     x, y = _ijk_to_hex2d(i, j, k)
     lat, lng = _hex2d_to_geo(x, y, face, r_target)
+
+    # ------------------------------------------------------------------
+    # verification + repair (fold-adjacent cells). The descent's fallback
+    # paths can terminate on a grid point of a NEIGHBORING face's chart
+    # that physically lies inside the cell but is not its center (it
+    # round-trips, so the want-check can't catch it), and which chart
+    # wins was batch-composition dependent. Detector: the true center
+    # has all 6 probe points at 0.3 lattice units around it still inside
+    # the cell (0.3 < the minimum inscribed radius even at the pentagon
+    # distortion extremes); a displaced center sits near an edge and
+    # loses probes. Repair: re-round the landing point (interior to the
+    # cell, so it rounds to the canonical ijk on the canonical chart) on
+    # each of the 3 nearest faces' charts and keep the candidate whose
+    # grid point indexes to the cell with the best probe count —
+    # production as arbiter, no recalled overage tables.
+    # ------------------------------------------------------------------
+    if r_target > 0 and n:
+        probes = np.zeros(n, dtype=np.int64)
+        for ang in range(6):
+            t = ang * np.pi / 3.0 + np.pi / 6.0
+            qlat, qlng = _hex2d_to_geo(
+                x + 0.3 * np.cos(t), y + 0.3 * np.sin(t), face, r_target
+            )
+            idx = latlng_to_cell(np.degrees(qlat), np.degrees(qlng), r_target)
+            probes += (idx == h).astype(np.int64)
+        suspect = np.where(probes < 6)[0]
+        for m in suspect:
+            land = _geo_to_xyz(lat[m], lng[m])
+            cand_faces = np.argsort(-(land @ _FACE_XYZ.T))[:3]
+            best = (int(probes[m]), None)
+            for f in cand_faces:
+                fa = np.array([int(f)])
+                _, cx, cy = _geo_to_hex2d(
+                    lat[m : m + 1], lng[m : m + 1], r_target, face=fa
+                )
+                ci_, cj_, ck_ = _hex2d_to_ijk(cx, cy)
+                gx, gy = _ijk_to_hex2d(ci_, cj_, ck_)
+                gla, gln = _hex2d_to_geo(gx, gy, fa, r_target)
+                if int(latlng_to_cell(np.degrees(gla), np.degrees(gln), r_target)[0]) != int(h[m]):
+                    continue
+                cnt = 0
+                for ang in range(6):
+                    t = ang * np.pi / 3.0 + np.pi / 6.0
+                    qla, qln = _hex2d_to_geo(
+                        gx + 0.3 * np.cos(t), gy + 0.3 * np.sin(t), fa, r_target
+                    )
+                    if int(latlng_to_cell(np.degrees(qla), np.degrees(qln), r_target)[0]) == int(h[m]):
+                        cnt += 1
+                if cnt > best[0]:
+                    best = (cnt, (float(gla[0]), float(gln[0])))
+            if best[1] is None:
+                # the landing point itself sits in a NEIGHBOR cell (the
+                # displaced grid point was another chart's lattice point
+                # inside a different cell): sample around it, keep the
+                # points that index to OUR cell, and take their modal
+                # rounded chart coordinates — interior points of a cell
+                # round to its canonical (face, ijk) on the canonical
+                # chart, so the mode is the center (the same arbiter the
+                # bit-compat ground-truth probe used)
+                rng_rp = np.random.default_rng(17)
+                spacing = 0.4 / _SQRT7 ** r_target
+                az = rng_rp.uniform(0, 2 * np.pi, 4000)
+                dist = rng_rp.uniform(0, 1, 4000) ** 0.5 * 2.5 * spacing
+                sla_, sln_ = _geo_az_distance(
+                    float(lat[m]), float(lng[m]), az, dist
+                )
+                idxs = latlng_to_cell(np.degrees(sla_), np.degrees(sln_), r_target)
+                hit = idxs == h[m]
+                if hit.any():
+                    hf, hx, hy = _geo_to_hex2d(sla_[hit], sln_[hit], r_target)
+                    hi_, hj_, hk_ = _hex2d_to_ijk(hx, hy)
+                    from collections import Counter
+
+                    modal, _cnt = Counter(
+                        zip(hf.tolist(), hi_.tolist(), hj_.tolist(), hk_.tolist())
+                    ).most_common(1)[0]
+                    mf = np.array([modal[0]])
+                    gx, gy = _ijk_to_hex2d(
+                        np.int64(modal[1]), np.int64(modal[2]), np.int64(modal[3])
+                    )
+                    gla, gln = _hex2d_to_geo(
+                        np.float64(gx), np.float64(gy), mf, r_target
+                    )
+                    if int(
+                        latlng_to_cell(
+                            np.degrees(gla), np.degrees(gln), r_target
+                        )[0]
+                    ) == int(h[m]):
+                        best = (0, (float(gla[0]), float(gln[0])))
+            if best[1] is not None:
+                lat[m], lng[m] = best[1]
+
     return np.degrees(lat), np.degrees(lng)
 
 
@@ -1235,6 +1334,47 @@ def grid_disk(cells, k: int = 1) -> list[set[int]]:
             s |= ring
         out.append(s)
     return out
+
+
+# --- kNN ring-expansion reach calibration (scripts/gen_h3_reach.py) -------
+# Per res: [R_max_km, D_min[1], ..., D_min[16]] measured over the grid's
+# distortion extremes — every pentagon disk-2 neighborhood and every
+# icosahedron face-edge seam, plus random controls. D_min[g] is the
+# minimum center-to-center distance at grid distance exactly g; R_max the
+# maximum point-to-cell-center offset (boundary circumradius and direct
+# point sampling, maxed). Replaces the round-3 sampled global-min-spacing
+# heuristic, whose r*s_min finish bound was unsound for hex grid distance
+# (zigzag centers: D_min[g] ~ (sqrt(3)/2)*g*s, below r*s for g=r).
+_EMB_REACH: dict[int, list[float]] = {}
+
+_REACH_D_MARGIN = 0.98   # measured minima shrink: unswept distortion slack
+_REACH_R_MARGIN = 1.05   # measured maxima grow: same, opposite direction
+
+
+def ring_finish_reach_km(res: int, max_ring: int = 16):
+    """(suffix_d, r_max): ``suffix_d[r]`` is the margined minimum
+    CENTER-to-CENTER distance (km) from a query cell to any cell outside
+    grid_disk(query_cell, r), i.e. at grid distance >= r+1:
+
+        suffix_d[r] = min_{g >= r+1} D_min[g] * margin
+
+    A point in such a cell is at least ``suffix_d[r] - r_max - q_off``
+    km from a query point sitting ``q_off`` km off its own cell center
+    (the target can be at most ``r_max`` off ITS center). A query whose
+    k-th found neighbor is within that distance after searching disk r
+    is provably final. The caller composes the subtraction so the
+    per-query offset can be the point's actual measured offset."""
+    if res not in _EMB_REACH:
+        raise ValueError(
+            f"no reach calibration for res {res} — run scripts/gen_h3_reach.py"
+        )
+    row = _EMB_REACH[res]
+    r_max = row[0] * _REACH_R_MARGIN
+    d = np.array(row[1 : max_ring + 1], dtype=np.float64) * _REACH_D_MARGIN
+    # suffix min over g >= r+1 (wrap-around at coarse res can make ring
+    # minima non-monotonic near the antipode)
+    suffix = np.minimum.accumulate(d[::-1])[::-1]
+    return suffix, r_max
 
 
 def cell_to_boundary(cells) -> list[np.ndarray]:
@@ -1368,6 +1508,56 @@ def polygon_to_cells(ring_xy, res: int, ring_offsets=None) -> np.ndarray:
 
     keep = _inside(clng, clat)
     return cand[keep]
+
+
+def polygon_cover_cells(ring_xy, res: int, ring_offsets=None) -> np.ndarray:
+    """SUPERSET cover: every cell that INTERSECTS the polygon (vs the
+    center-containment semantics of ``polygon_to_cells``) — the candidate
+    index a PIP join needs, since a point can sit in a cell whose center
+    is outside the polygon.
+
+    Construction, provably covering:
+    - interior cells: center-containment polyfill (a fully-inside cell
+      has its center inside);
+    - boundary cells: every polygon edge is sampled at a step below half
+      the minimum cell width (D_min[1] from the reach calibration), and
+      the disk-1 of each sample's cell is added. A segment between two
+      consecutive samples is shorter than the minimum cell width, so any
+      cell it crosses cannot be fully traversed and must touch the first
+      sample's cell — and in a hex tiling three cells meet at every
+      vertex, all pairwise edge-adjacent, so "touches" implies grid
+      distance <= 1. Vertices are sample points themselves.
+    """
+    xy = np.asarray(ring_xy, dtype=np.float64)
+    offs = list(ring_offsets) if ring_offsets is not None else [0, len(xy)]
+    fill = polygon_to_cells(xy, res, ring_offsets=offs)
+
+    step_km = 0.5 * _EMB_REACH[res][1] * _REACH_D_MARGIN
+    slat, slng = [], []
+    for ri in range(len(offs) - 1):
+        ring = xy[offs[ri] : offs[ri + 1]]
+        rx, ry = ring[0::2], ring[1::2]
+        x2, y2 = np.roll(rx, -1), np.roll(ry, -1)
+        for e in range(len(rx)):
+            seg_km = float(
+                np.hypot(
+                    (y2[e] - ry[e]) * 111.19492664455873,
+                    (x2[e] - rx[e])
+                    * 111.19492664455873
+                    * max(np.cos(np.radians((ry[e] + y2[e]) / 2)), 0.05),
+                )
+            )
+            n = max(2, int(np.ceil(seg_km / step_km)) + 1)
+            t = np.linspace(0.0, 1.0, n)
+            slng.append(rx[e] + t * (x2[e] - rx[e]))
+            slat.append(ry[e] + t * (y2[e] - ry[e]))
+    scells = np.unique(
+        latlng_to_cell(np.concatenate(slat), np.concatenate(slng), res)
+    )
+    edge: set[int] = set()
+    for d in grid_disk(scells, 1):
+        edge |= d
+    return np.array(sorted({int(c) for c in fill} | edge), dtype=np.uint64)
 
 
 def uncompact_cells(cells, res: int) -> set[int]:

@@ -22,7 +22,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import s2
+from ..functions import geo, s2
 from ..functions.h3 import h3_cell_col
 from ..functions.text import detect_lang_udf, extract_text_udf
 from ..operators.dedup import (
@@ -156,10 +156,15 @@ def geocode_and_tile(
         addrs, index, check_results=check_results, with_rejected=False,
         validate_unique=validate_unique, with_extra_house_number=False,
     )
+    # ONE Arrow crossing for both tilings (fused struct UDF) — two
+    # separate pandas UDFs would serialize the same lat/lon twice
+    cells = geo.s2_h3_cells_udf(13, 9)(F.col("lat"), F.col("lon"))
     return res.withColumn(
-        "cell13", s2.s2_cell_udf(13)(F.col("lat"), F.col("lon"))
+        "_cells", cells
     ).withColumn(
-        "h3_9", h3_cell_col(F.col("lat"), F.col("lon"), 9)
+        "cell13", F.col("_cells.s2")
+    ).withColumn(
+        "h3_9", F.col("_cells.h3")
     ).select(
         "addr_key", "url", "method",
         F.col("place_id").cast("long").alias("place_id"),

@@ -581,3 +581,54 @@ def test_cell_to_boundary_adjacent_share_edge():
             if abs(v[0] - w[0]) < 1e-11 and abs(v[1] - w[1]) < 1e-11
         )
         assert shared == 2, n
+
+
+def test_fold_adjacent_centers_batch_invariant():
+    """Round-4 regression: near icosahedron folds the descent's fallback
+    could terminate on a neighboring chart's grid point that lies inside
+    the cell but is not its center (it round-trips, so the want-check
+    missed it), and WHICH chart won depended on the batch composition.
+    The two cells below (seam-huggers at the face-2/3 fold near the base
+    cell 4 pentagon) reproduced it; ground truth is the modal rounded
+    chart coordinate of the cell's interior points. Centers must now be
+    batch-size invariant and equal ground truth."""
+    truth = {
+        0x8808000009FFFFF: (64.7033578, 10.5252576),
+        0x880800000DFFFFF: (64.6965909, 10.5253467),
+    }
+    cells = np.array(sorted(truth), dtype=np.uint64)
+    # batch of the pair + each alone + the pair inside a wider disk batch
+    wide = np.array(sorted(H.grid_disk(cells, 2)[0] | H.grid_disk(cells, 2)[1]),
+                    dtype=np.uint64)
+    for batch in (cells, cells[:1], cells[1:], wide):
+        la, lo = H.cell_to_latlng(batch)
+        for i, c in enumerate(batch):
+            if int(c) in truth:
+                tla, tlo = truth[int(c)]
+                assert abs(la[i] - tla) < 1e-6 and abs(lo[i] - tlo) < 1e-6, (
+                    f"{int(c):x} in batch of {len(batch)}: ({la[i]}, {lo[i]})"
+                )
+
+
+def test_center_probe_property_pentagon_sweep():
+    """Every computed center keeps all 6 probe points at 0.3 lattice
+    units inside its own cell (pentagons: >= 5) — the displaced-center
+    detector must find nothing to flag on the distortion extremes."""
+    pents = np.array(
+        [H.h3_center_child((1 << 59) | (bc << 45) | ((1 << 45) - 1), 8)
+         for bc in H.PENTAGON_BASE_CELLS], dtype=np.uint64)
+    sweep = set()
+    for d in H.grid_disk(pents, 2):
+        sweep |= d
+    arr = np.array(sorted(sweep), dtype=np.uint64)
+    la, lo = H.cell_to_latlng(arr)
+    lar, lor = np.radians(la), np.radians(lo)
+    face, x, y = H._geo_to_hex2d(lar, lor, 8)
+    hits = np.zeros(len(arr), dtype=np.int64)
+    for ang in range(6):
+        t = ang * np.pi / 3.0 + np.pi / 6.0
+        qla, qln = H._hex2d_to_geo(x + 0.3 * np.cos(t), y + 0.3 * np.sin(t), face, 8)
+        hits += (H.latlng_to_cell(np.degrees(qla), np.degrees(qln), 8) == arr).astype(np.int64)
+    for i, c in enumerate(arr):
+        need = 5 if H.h3_is_pentagon(int(c)) else 6
+        assert hits[i] >= need, f"{int(c):x}: {hits[i]}"
