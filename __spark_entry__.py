@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cells_grid": dq.q_knn_cells_grid,          # J10 scale path (oracled)
         "knn_h3": dq.q_knn_h3,                          # J10 on real H3 rings (oracled)
         "pip_rect": dq.q_pip_rect,                      # J9 (oracled)
+        "pip_rect_h3": dq.q_pip_rect_h3,                # J9 on the H3 cover (oracled)
         "dedup_exact": dq.q_dedup_exact,                # dedup: exact
         "token_stats": dq.q_token_stats,                # text analysis
         "cosine_topk": dq.q_cosine_topk,                # similarity search
@@ -98,6 +99,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_cells_grid": dq.SQL_KNN_CELLS,
         "knn_h3": dq.SQL_KNN_CELLS,
         "pip_rect": dq.SQL_PIP_RECT,
+        "pip_rect_h3": dq.SQL_PIP_RECT,
         "dedup_exact": dq.SQL_DEDUP,
         "token_stats": dq.SQL_TOKENS,
         "cosine_topk": dq.SQL_COSINE,

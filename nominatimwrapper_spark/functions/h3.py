@@ -1345,7 +1345,24 @@ def grid_disk(cells, k: int = 1) -> list[set[int]]:
 # point sampling, maxed). Replaces the round-3 sampled global-min-spacing
 # heuristic, whose r*s_min finish bound was unsound for hex grid distance
 # (zigzag centers: D_min[g] ~ (sqrt(3)/2)*g*s, below r*s for g=r).
-_EMB_REACH: dict[int, list[float]] = {}
+_EMB_REACH: dict[int, list[float]] = {
+    0: [1382.85327, 1831.62879, 3479.24282, 5358.4559, 7053.65422, 8885.28301, 10716.9118, 13041.4625, 15366.0131, 17690.5638, 20015.1143, float('inf'), float('inf'), float('inf'), float('inf'), float('inf'), float('inf')],
+    1: [529.810512, 638.728128, 1140.67039, 1779.31301, 2459.09407, 3161.85346, 3880.98668, 4655.06433, 5426.65299, 6211.29788, 6957.34524, 7619.49912, 8238.83429, 8914.10501, 9598.17023, 10354.1037, 11118.3514],
+    2: [200.422494, 225.36969, 423.137645, 638.728128, 860.169129, 1095.03109, 1327.22054, 1566.34761, 1812.41481, 2068.52718, 2317.38064, 2576.46564, 2836.49715, 3107.57209, 3379.29648, 3652.16268, 3930.70086],
+    3: [75.8465138, 86.3352698, 147.678335, 225.36969, 300.360892, 378.200031, 458.121974, 537.555618, 621.016001, 702.548755, 788.749813, 872.941102, 959.198208, 1047.08859, 1134.88932, 1222.82652, 1312.87063],
+    4: [28.6150353, 31.4793819, 58.4751814, 86.3352698, 116.482703, 145.016652, 174.292122, 204.749568, 233.794722, 263.882195, 294.372455, 324.322928, 355.114978, 385.773681, 416.537067, 447.512255, 478.785168],
+    5: [10.81657, 12.2348246, 20.7938118, 31.4793819, 41.6882005, 52.0734563, 62.6834446, 72.968987, 83.779817, 94.0332102, 104.791252, 115.229656, 125.916656, 136.544422, 147.19454, 157.971149, 168.606261],
+    6: [4.05600355, 4.48258739, 8.31340497, 12.2348246, 16.4541033, 20.4524519, 24.5025102, 28.6921157, 32.711441, 36.8030981, 40.9880412, 45.0194134, 49.1366287, 53.2986946, 57.3660961, 61.5031417, 65.6511884],
+    7: [1.54023813, 1.74582177, 2.96439751, 4.48258739, 5.93084265, 7.39979954, 8.89933625, 10.347691, 11.8698791, 13.3072591, 14.8126636, 16.2732577, 17.7621001, 19.2436649, 20.7208016, 22.2175377, 23.6860708],
+    8: [0.584948446, 0.640074841, 1.18680956, 1.74582177, 2.34680202, 2.91640552, 3.49231345, 4.08757124, 4.65910959, 5.23947514, 5.83258053, 6.4047782, 6.98730699, 7.57742958, 8.15193806, 8.7358091, 9.32286709],
+    9: [0.221118182, 0.2493621, 0.423360026, 0.640074841, 0.846761825, 1.0563149, 1.2702054, 1.47668674, 1.69369075, 1.89847559, 2.11289618, 2.32093191, 2.53285777, 2.74376675, 2.95389156, 3.16684527, 3.3756121],
+    10: [0.0835120696, 0.0914332481, 0.169527495, 0.2493621, 0.335180256, 0.416519759, 0.49873787, 0.583708341, 0.665302593, 0.74812731, 0.832760089, 0.914426878, 0.99753042, 1.08174268, 1.16368213, 1.2469472, 1.33070001],
+    11: [0.0315452632, 0.03562232, 0.0604774459, 0.0914332481, 0.120955745, 0.150885822, 0.181434896, 0.210923532, 0.241914899, 0.271158558, 0.30177708, 0.331483819, 0.361743332, 0.391858037, 0.421857636, 0.452261949, 0.48206493],
+    12: [0.0119365268, 0.0130617695, 0.0242178719, 0.03562232, 0.0478813185, 0.0595005859, 0.0712449193, 0.0833822042, 0.0950374221, 0.106867798, 0.118956225, 0.130621363, 0.142490955, 0.154519422, 0.16622234, 0.178114391, 0.19007678],
+    13: [0.00449869312, 0.00508888547, 0.00863958268, 0.0130617696, 0.0172791831, 0.0215547844, 0.0259188008, 0.0301312857, 0.034558436, 0.0387358706, 0.0431096801, 0.0473532418, 0.0516757108, 0.0559775025, 0.0602627875, 0.0646059008, 0.0688630439],
+    14: [0.0017045135, 0.00186596427, 0.00345968875, 0.00508888549, 0.00684015592, 0.00850003776, 0.010177777, 0.0119116472, 0.0135766558, 0.0152666742, 0.0169935522, 0.018659969, 0.0203555771, 0.0220738917, 0.0237456817, 0.0254444857, 0.0271533515],
+    15: [0.000641776728, 0.000726982987, 0.00123422477, 0.00186596431, 0.00246845021, 0.00307924787, 0.00370267599, 0.00430445593, 0.00493690213, 0.0055336738, 0.0061584983, 0.00676471614, 0.00738220522, 0.00799674058, 0.00860891656, 0.00922935396, 0.00983750859],
+}
 
 _REACH_D_MARGIN = 0.98   # measured minima shrink: unswept distortion slack
 _REACH_R_MARGIN = 1.05   # measured maxima grow: same, opposite direction

@@ -85,6 +85,22 @@ def _ray_cast_udf(
     return pd.Series(res)
 
 
+def _h3_cover_udf(res: int):
+    @pandas_udf(ArrayType(LongType()))
+    def _cover(ring_xy: pd.Series, ring_offsets: pd.Series) -> pd.Series:
+        from ..functions.h3 import polygon_cover_cells
+
+        out = []
+        for xy, offs in zip(ring_xy, ring_offsets):
+            cells = polygon_cover_cells(
+                np.asarray(xy, dtype=np.float64), res, ring_offsets=list(offs)
+            )
+            out.append(cells.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return _cover
+
+
 def point_in_polygon_join(
     points: DataFrame,
     polygons: DataFrame,
@@ -92,34 +108,57 @@ def point_in_polygon_join(
     lon_col: str = "lon",
     cells_per_degree: int = 32,
     how: str = "inner",
+    cover: str = "grid",
+    h3_res: int = 7,
 ) -> DataFrame:
     """Assign each point to the polygon(s) containing it.
 
     points: any DataFrame with lat/lon columns.
     polygons: (poly_id, name, ring_xy, ring_offsets, bbox_*) per FIXTURES.md §4.
     Returns points columns + (poly_id, poly_name).
+
+    ``cover`` picks the candidate tiling: ``'grid'`` (planar integer
+    lat/lon cells from the bbox) or ``'h3'`` — the H3-native cover via
+    ``polygon_cover_cells`` (center polyfill + edge-sample disk-1, a
+    provable intersect superset at ``h3_res``), so H3-indexed polygon
+    layers join points without a second tiling. Either way the exact
+    even-odd ray cast decides; the cover only bounds who pays it.
     """
     # left mode joins results back onto the input; equality on double
     # lat/lon is fragile and duplicate input rows would multiply, so key
     # the join on a synthesized unique row id instead (inner mode never
-    # joins back — no id needed there)
+    # joins back — no id needed there). The id-bearing frame MUST be
+    # pinned before the plan branches: monotonically_increasing_id is
+    # only stable if partitioning and intra-partition order reproduce,
+    # which shuffled/AQE-coalesced/speculatively re-executed upstreams
+    # don't guarantee across the two evaluations (the hit subtree and
+    # the left side) — an unpinned id silently drops or misattributes
+    # matches. localCheckpoint materializes the ids once; left mode pays
+    # that materialization, inner mode stays pipelined.
     if how != "inner":
-        points = points.withColumn("_pt_id", F.monotonically_increasing_id())
+        points = points.withColumn(
+            "_pt_id", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=True)
 
-    cover = _cover_cells_udf(cells_per_degree)
-    poly_cells = polygons.withColumn(
-        "cell",
-        F.explode(
-            cover(F.col("bbox_minx"), F.col("bbox_miny"), F.col("bbox_maxx"), F.col("bbox_maxy"))
-        ),
-    ).select(
+    if cover == "h3":
+        from ..functions.h3 import h3_cell_col
+
+        cover_cells = _h3_cover_udf(h3_res)(F.col("ring_xy"), F.col("ring_offsets"))
+        pt_cell = h3_cell_col(F.col(lat_col), F.col(lon_col), h3_res)
+    else:
+        cover_cells = _cover_cells_udf(cells_per_degree)(
+            F.col("bbox_minx"), F.col("bbox_miny"), F.col("bbox_maxx"), F.col("bbox_maxy")
+        )
+        pt_cell = grid_cell_col(F.col(lat_col), F.col(lon_col), cells_per_degree)
+
+    poly_cells = polygons.withColumn("cell", F.explode(cover_cells)).select(
         "cell",
         F.col("poly_id"),
         F.col("name").alias("poly_name"),
         "ring_xy", "ring_offsets", "bbox_minx", "bbox_miny", "bbox_maxx", "bbox_maxy",
     )
 
-    pts = points.withColumn("cell", grid_cell_col(F.col(lat_col), F.col(lon_col), cells_per_degree))
+    pts = points.withColumn("cell", pt_cell)
 
     joined = pts.join(F.broadcast(poly_cells), on="cell", how="inner").filter(
         (F.col(lon_col) >= F.col("bbox_minx"))
@@ -182,6 +221,8 @@ def knn_cells(
     target_id: str = "place_id",
     cells_per_degree: int = 32,
     max_rings: int = 8,
+    broadcast_max_bytes: int = 800 * 1024 * 1024,
+    force_no_broadcast: bool = False,
 ) -> DataFrame:
     """Scale-path kNN: grid-cell ring expansion (SURVEY.md J10/W4).
 
@@ -191,8 +232,12 @@ def knn_cells(
     is scored exactly once. A query's result is final once its k-th
     neighbor distance is <= the minimum distance any target OUTSIDE the
     searched block could have (r cells of guaranteed reach); unfinished
-    queries continue to the next ring. Driver loop depth <= max_rings,
-    each iteration a broadcast join — the big side never shuffles.
+    queries continue to the next ring. Driver loop depth <= max_rings.
+
+    The target projection broadcasts only under the byte gate
+    (``broadcast_max_bytes``); above it each ring's join degrades to a
+    shuffle hash join on the cell key instead of OOMing on a
+    planet-scale target corpus.
     """
     w_cells = 360 * cells_per_degree
     t = targets.select(
@@ -201,6 +246,7 @@ def knn_cells(
         F.col("lon").alias("_tlon"),
         grid_cell_col(F.col("lat"), F.col("lon"), cells_per_degree).alias("_tcell"),
     )
+    no_bc = _targets_too_big_to_broadcast(t, broadcast_max_bytes, force_no_broadcast)
 
     q = queries.withColumn("_qcell", grid_cell_col(F.col("lat"), F.col("lon"), cells_per_degree))
     # cell height in km (lat direction is uniform; lon shrinks with cos(lat),
@@ -219,17 +265,12 @@ def knn_cells(
             if max(abs(dy), abs(dx)) == r  # shell only
         ]
         offs_arr = F.array(*[F.lit(dy * w_cells + dx) for dy, dx in offs])
-        shell = (
+        exploded = (
             remaining.withColumn("_off", F.explode(offs_arr))
             .withColumn("_cell", F.col("_off") + F.col("_qcell"))
             .drop("_off")
-            .join(F.broadcast(t), F.col("_cell") == t._tcell, "inner")
-            .withColumn(
-                "dist_km",
-                F.round(haversine_col(F.col("lat"), F.col("lon"), F.col("_tlat"), F.col("_tlon")), 9),
-            )
-            .drop("_cell", "_tcell", "_tlat", "_tlon")
         )
+        shell = _knn_target_join(exploded, t, no_bc)
         acc = shell if acc is None else acc.unionByName(shell)
         # materialize: the shell join + every prior ring would otherwise be
         # re-evaluated by the window, the finish filter AND the next ring
@@ -329,72 +370,38 @@ def tile_rollup_approx(
     )
 
 
-_H3_MIN_SPACING_KM: dict[int, float] = {}
+def _knn_target_join(shell_df: DataFrame, t: DataFrame, no_bc: bool) -> DataFrame:
+    """One ring's candidate join: broadcast under the byte gate, shuffle
+    hash join on the cell key above it (both sides hash-partition on
+    ``_cell``; the plan must contain no BroadcastExchange in that
+    regime — asserted by test_plan_shape)."""
+    if no_bc:
+        j = shell_df.hint("shuffle_hash").join(t, F.col("_cell") == t._tcell, "inner")
+    else:
+        j = shell_df.join(F.broadcast(t), F.col("_cell") == t._tcell, "inner")
+    return j.withColumn(
+        "dist_km",
+        F.round(
+            haversine_col(F.col("lat"), F.col("lon"), F.col("_tlat"), F.col("_tlon")),
+            9,
+        ),
+    ).drop("_cell", "_tcell", "_tlat", "_tlon")
 
 
-def _h3_min_spacing_km(res: int) -> float:
-    """Conservative global minimum center-to-center spacing (km) of the
-    H3 grid at ``res``, sampled once per resolution: 4k random cells plus
-    every pentagon neighborhood (the distortion extremes), min over all
-    neighbor pairs, x0.97 safety. The minimum WIDTH of a (possibly
-    distorted) hexagon equals its center spacing to the neighbor across
-    that edge, so any point r grid steps away is at least
-    r * min_spacing km from the query point — the ring-expansion finish
-    bound."""
-    if res not in _H3_MIN_SPACING_KM:
-        from ..functions.h3 import (
-            PENTAGON_BASE_CELLS,
-            _BASE_CELL_HOME,
-            _hex2d_to_geo,
-            _ijk_to_hex2d,
-            cell_to_latlng,
-            grid_disk,
-            latlng_to_cell,
-        )
+def _targets_too_big_to_broadcast(
+    t: DataFrame, broadcast_max_bytes: int, force_no_broadcast: bool
+) -> bool:
+    """The cascade's byte gate (geocode.py build_gazetteer_index), reused
+    for kNN target tables: estimate serialized bytes from a sampled row
+    width x count and refuse to broadcast above the budget — a
+    planet-scale POI corpus must degrade to a shuffle join on the cell
+    key, not OOM the executors."""
+    if force_no_broadcast:
+        return True
+    from .geocode import _avg_row_bytes
 
-        rng = np.random.default_rng(77)
-        z = rng.uniform(-1, 1, 4000)
-        lng = rng.uniform(-180, 180, 4000)
-        lat = np.degrees(np.arcsin(z))
-        plat, plng = [], []
-        for c in PENTAGON_BASE_CELLS:  # pentagon regions explicitly
-            fh, ih, jh, kh = _BASE_CELL_HOME[c]
-            x, y = _ijk_to_hex2d(np.int64(ih), np.int64(jh), np.int64(kh))
-            la, lo = _hex2d_to_geo(np.float64(x), np.float64(y), fh, 0)
-            az = rng.uniform(0, 2 * np.pi, 200)
-            dist = rng.uniform(0, 0.25, 200)
-            from ..functions.h3 import _geo_az_distance
-
-            sl, sn = _geo_az_distance(float(la), float(lo), az, dist)
-            plat.append(np.degrees(sl))
-            plng.append(np.degrees(sn))
-        lat = np.concatenate([lat] + plat)
-        lng = np.concatenate([lng] + plng)
-        cells = np.unique(latlng_to_cell(lat, lng, res))
-        disks = grid_disk(cells, 1)
-        cset = set(int(c) for c in cells)
-        pairs = sorted(
-            {
-                (int(c), n)
-                for c, s in zip(cells, disks)
-                for n in s
-                if n != int(c)
-            }
-        )
-        a = np.array([p[0] for p in pairs], dtype=np.uint64)
-        b = np.array([p[1] for p in pairs], dtype=np.uint64)
-        ala, alo = cell_to_latlng(a)
-        bla, blo = cell_to_latlng(b)
-        r1, r2 = np.radians(ala), np.radians(bla)
-        dlat = np.radians(bla - ala)
-        dlon = np.radians(blo - alo)
-        h = (
-            np.sin(dlat / 2) ** 2
-            + np.cos(r1) * np.cos(r2) * np.sin(dlon / 2) ** 2
-        )
-        d_km = 2 * 6371.0088 * np.arcsin(np.sqrt(np.clip(h, 0, 1)))
-        _H3_MIN_SPACING_KM[res] = float(d_km.min()) * 0.97
-    return _H3_MIN_SPACING_KM[res]
+    n = t.count()
+    return n * _avg_row_bytes(t) > broadcast_max_bytes
 
 
 def knn_h3(
@@ -405,19 +412,66 @@ def knn_h3(
     target_id: str = "place_id",
     res: int = 7,
     max_rings: int = 8,
-    max_query_cells: int = 200_000,
+    max_query_cells: int = 50_000,
+    broadcast_max_bytes: int = 800 * 1024 * 1024,
+    force_no_broadcast: bool = False,
+    on_overflow: str = "coarsen",
 ) -> DataFrame:
     """kNN via H3 ring expansion (J10/W4 on the real Uber-H3 tiling).
 
     Same incremental-shell contract as ``knn_cells``: ring r joins only
-    the cells at exactly grid distance r, candidates accumulate, a query
-    finishes once its k-th neighbor is closer than any unsearched cell
-    could be (r * global-min cell spacing). The ring shells come from
-    driver-side ``grid_disk`` over the DISTINCT query cells (the query
-    side is the small side by contract — guarded by ``max_query_cells``)
-    and are broadcast; the target corpus never shuffles.
+    the cells at exactly grid distance r, candidates accumulate, and a
+    query finishes once its k-th neighbor is provably closer than any
+    point in an unsearched cell. The finish bound comes from the
+    calibrated reach table (functions/h3.py ring_finish_reach_km —
+    per-ring minimum center distances over the pentagon/seam distortion
+    extremes, minus the target's max center offset and the query point's
+    ACTUAL center offset), replacing the round-3 ``r * min_spacing``
+    bound that was unsound for hex grid distance (zigzag centers).
+
+    Scale shape:
+    - ring shells are built LAZILY per ring from the still-active query
+      cells only (one batched BFS step each ring, memoized), never the
+      full disk table up front;
+    - the target projection broadcasts only under the byte gate
+      (``broadcast_max_bytes``, same estimator as the geocode cascade);
+      above it the per-ring join degrades to a shuffle hash join on the
+      cell key — both sides hash-partition on ``_cell``, nothing OOMs;
+    - ``max_query_cells`` bounds the driver-side BFS. Above it,
+      ``on_overflow='coarsen'`` re-runs at the finest resolution below
+      the input whose distinct-cell count fits (correct at any res —
+      only ring membership changes, the distance math is identical);
+      ``'raise'`` keeps the round-3 hard error.
     """
-    from ..functions.h3 import grid_disk, h3_cell_col
+    from ..functions.h3 import grid_rings, h3_cell_col, ring_finish_reach_km
+    from ..functions.h3 import cell_to_latlng, grid_neighbors
+
+    if max_rings < 1 or max_rings > 15:
+        raise ValueError("knn_h3: max_rings must be in 1..15")
+
+    q = queries.withColumn("_qcell", h3_cell_col(F.col("lat"), F.col("lon"), res))
+    qcells = [
+        r[0]
+        for r in q.select("_qcell").distinct().limit(max_query_cells + 1).collect()
+    ]
+    if len(qcells) > max_query_cells:
+        if on_overflow != "coarsen":
+            raise ValueError(
+                f"knn_h3: > {max_query_cells} distinct query cells; use a "
+                "coarser res, knn_cells, or on_overflow='coarsen'"
+            )
+        for coarser in range(res - 1, -1, -1):
+            qc = queries.withColumn(
+                "_qcell", h3_cell_col(F.col("lat"), F.col("lon"), coarser)
+            )
+            n = qc.select("_qcell").distinct().limit(max_query_cells + 1).count()
+            if n <= max_query_cells:
+                return knn_h3(
+                    queries, targets, k, query_id, target_id, coarser,
+                    max_rings, max_query_cells, broadcast_max_bytes,
+                    force_no_broadcast, on_overflow="raise",
+                )
+        raise ValueError("knn_h3: query cells exceed the cap even at res 0")
 
     t = targets.select(
         F.col(target_id).alias("_tid"),
@@ -425,49 +479,64 @@ def knn_h3(
         F.col("lon").alias("_tlon"),
         h3_cell_col(F.col("lat"), F.col("lon"), res).alias("_tcell"),
     )
-    q = queries.withColumn("_qcell", h3_cell_col(F.col("lat"), F.col("lon"), res))
-
-    qcells = [
-        r[0]
-        for r in q.select("_qcell").distinct().limit(max_query_cells + 1).collect()
-    ]
-    if len(qcells) > max_query_cells:
-        raise ValueError(
-            f"knn_h3: > {max_query_cells} distinct query cells; use a "
-            "coarser res or knn_cells for query sets this large"
-        )
-    qarr = np.array(qcells, dtype=np.uint64)
-    disks = [grid_disk(qarr, r) for r in range(max_rings + 1)]
     spark = queries.sparkSession
-    min_spacing = _h3_min_spacing_km(res)
+    no_bc = _targets_too_big_to_broadcast(
+        t, broadcast_max_bytes, force_no_broadcast
+    )
+
+    suffix_d, r_max = ring_finish_reach_km(res, max_ring=max_rings + 1)
+
+    # query-cell centers: the finish bound uses each query point's ACTUAL
+    # offset from its cell center (driver-computed once; the query side is
+    # the small side by contract)
+    qarr = np.array(qcells, dtype=np.uint64) if qcells else np.array([], dtype=np.uint64)
+    if len(qarr):
+        qla, qlo = cell_to_latlng(qarr)
+        qcenters = spark.createDataFrame(
+            pd.DataFrame(
+                {"_qcell": qarr.astype(np.int64), "_qclat": qla, "_qclng": qlo}
+            )
+        )
+    else:
+        qcenters = spark.createDataFrame([], "_qcell long, _qclat double, _qclng double")
+    q = q.join(F.broadcast(qcenters), on="_qcell", how="left").withColumn(
+        "_qoff", haversine_col(F.col("lat"), F.col("lon"), F.col("_qclat"), F.col("_qclng"))
+    ).drop("_qclat", "_qclng")
+
+    # per-query-cell BFS state for lazy shells
+    seen: dict[int, set[int]] = {int(c): {int(c)} for c in qcells}
+    frontier: dict[int, set[int]] = {int(c): {int(c)} for c in qcells}
 
     remaining = q
     acc: DataFrame | None = None
     done_parts: list[DataFrame] = []
+    empty_shell = spark.createDataFrame([], "_qcell long, _cell long")
     for r in range(max_rings + 1):
-        rows = []
-        for ci, c in enumerate(qcells):
-            shell = disks[r][ci] - (disks[r - 1][ci] if r else set())
-            rows.extend((int(c), int(s)) for s in shell)
-        if not rows:
-            break
-        ring_map = spark.createDataFrame(
-            pd.DataFrame(rows, columns=["_qcell", "_cell"])
+        active = [c for c in seen if frontier[c]]
+        if r == 0:
+            shells = {c: {c} for c in active}
+        else:
+            flat = sorted({s for c in active for s in frontier[c]})
+            if flat:
+                neigh = grid_neighbors(np.array(flat, dtype=np.uint64))
+            shells = {}
+            for c in active:
+                nxt = set()
+                for s in frontier[c]:
+                    nxt |= neigh[s]
+                nxt -= seen[c]
+                seen[c] |= nxt
+                shells[c] = nxt
+            frontier = {c: shells.get(c, set()) for c in seen}
+        rows = [(int(c), int(s)) for c in active for s in shells.get(c, ())]
+        exhausted = not rows and r > 0  # every active query searched the sphere
+        ring_map = (
+            spark.createDataFrame(pd.DataFrame(rows, columns=["_qcell", "_cell"]))
+            if rows
+            else empty_shell
         )
-        shell_df = (
-            remaining.join(F.broadcast(ring_map), on="_qcell", how="inner")
-            .join(F.broadcast(t), F.col("_cell") == t._tcell, "inner")
-            .withColumn(
-                "dist_km",
-                F.round(
-                    haversine_col(
-                        F.col("lat"), F.col("lon"), F.col("_tlat"), F.col("_tlon")
-                    ),
-                    9,
-                ),
-            )
-            .drop("_cell", "_tcell", "_tlat", "_tlon")
-        )
+        shell_df = remaining.join(F.broadcast(ring_map), on="_qcell", how="inner")
+        shell_df = _knn_target_join(shell_df, t, no_bc)
         acc = shell_df if acc is None else acc.unionByName(shell_df)
         acc = acc.localCheckpoint(eager=True)
 
@@ -478,23 +547,30 @@ def knn_h3(
             F.col("knn_rank") <= k
         )
         kth = topk.groupBy(query_id).agg(
-            F.max("dist_km").alias("_kth"), F.count("*").alias("_n")
+            F.max("dist_km").alias("_kth"),
+            F.count("*").alias("_n"),
+            F.max("_qoff").alias("_qo"),
         )
+        # any unsearched target sits in a cell at grid distance >= r+1:
+        # its distance >= suffix_d[r] (min center spacing) minus r_max
+        # (the target's max center offset) minus the query point's ACTUAL
+        # center offset
+        finish_km = F.lit(float(suffix_d[r] - r_max)) - F.col("_qo")
         finished_keys = kth.filter(
-            (F.col("_n") >= k) & (F.col("_kth") <= F.lit(r * min_spacing))
+            (F.col("_n") >= k) & (F.col("_kth") <= finish_km)
         ).select(query_id)
-        if r == max_rings:
+        if r == max_rings or exhausted:
             finished_keys = kth.select(query_id)
         finished = topk.join(finished_keys, on=query_id, how="inner")
         done_parts.append(
-            finished.drop("_qcell")
+            finished.drop("_qcell", "_qoff")
             .withColumnRenamed("_tid", "neighbor_id")
             .localCheckpoint(eager=True)
         )
         remaining = remaining.join(
             finished_keys, on=query_id, how="left_anti"
         ).localCheckpoint(eager=True)
-        if remaining.isEmpty():
+        if exhausted or remaining.isEmpty():
             break
         acc = acc.join(finished_keys, on=query_id, how="left_anti")
 

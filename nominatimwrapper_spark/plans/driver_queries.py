@@ -649,6 +649,28 @@ def q_pip_rect(spark, sf_dir):
     )
 
 
+def q_pip_rect_h3(spark, sf_dir):
+    """J9 on the H3-NATIVE cover (round-4): identical semantics and
+    oracle as q_pip_rect, but the candidate index is polygon_cover_cells
+    (center polyfill + edge-sample disk-1 at res 4) and points key on
+    their H3 cell — the path an H3-indexed polygon layer takes."""
+    from ..operators.spatial import point_in_polygon_join
+
+    pts = _cust_points(spark, sf_dir)
+    rows = []
+    for pid, name, x0, y0, x1, y1 in _PIP_RECTS:
+        ring = [x0, y0, x1, y0, x1, y1, x0, y1, x0, y0]
+        rows.append((pid, name, ring, [0, len(ring)], x0, y0, x1, y1))
+    polys = spark.createDataFrame(
+        rows,
+        "poly_id long, name string, ring_xy array<double>, ring_offsets array<int>, "
+        "bbox_minx double, bbox_miny double, bbox_maxx double, bbox_maxy double",
+    )
+    return point_in_polygon_join(pts, polys, cover="h3", h3_res=4).select(
+        "c_custkey", "poly_id", F.col("poly_name")
+    )
+
+
 _PIP_RECTS_SQL = " UNION ALL ".join(
     f"SELECT {pid} AS poly_id, '{name}' AS poly_name, {x0} AS minx, {y0} AS miny, "
     f"{x1} AS maxx, {y1} AS maxy"

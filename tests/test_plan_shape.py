@@ -172,3 +172,47 @@ def test_salted_rollup_two_phase(spark):
     plan = _formatted(tile_rollup(pts, "cell", avg_cols=("v",), salt_partitions=8, salt_key="id"))
     # two-phase: two separate HashAggregate pairs (partial+final per phase)
     assert plan.count("HashAggregate") >= 4
+
+
+def test_knn_target_join_respects_byte_gate(spark):
+    """Round-3 verdict #2: kNN must not force-broadcast the target
+    table. Below the byte gate the per-ring join is a BroadcastHashJoin;
+    above it (or forced) the plan contains NO BroadcastExchange for the
+    target side — a shuffle hash join on the cell key instead."""
+    from nominatimwrapper_spark.operators.spatial import _knn_target_join
+
+    t = spark.range(1000).selectExpr(
+        "id as _tid", "cast(id as double)/100 as _tlat",
+        "cast(id as double)/100 as _tlon", "id % 37 as _tcell"
+    )
+    shell = spark.range(200).selectExpr(
+        "id as query_id", "cast(id as double)/50 as lat",
+        "cast(id as double)/50 as lon", "id % 37 as _cell"
+    )
+    bc_plan = _formatted(_knn_target_join(shell, t, no_bc=False))
+    assert "BroadcastHashJoin" in bc_plan
+    nobc_plan = _formatted(_knn_target_join(shell, t, no_bc=True))
+    assert "BroadcastExchange" not in nobc_plan
+    assert "ShuffledHashJoin" in nobc_plan or "SortMergeJoin" in nobc_plan
+
+
+def test_fused_cell_udf_single_arrow_crossing(spark):
+    """Round-3 verdict #5: cell13 + h3_9 must cost ONE Python crossing.
+    The fused struct UDF shows exactly one ArrowEvalPython node; the old
+    two-UDF pattern showed two."""
+    from nominatimwrapper_spark.functions import geo
+
+    pts = spark.range(100).selectExpr(
+        "cast(id as double)/10 as lat", "cast(id as double)/10 - 3 as lon"
+    )
+    cells = geo.s2_h3_cells_udf(13, 9)(F.col("lat"), F.col("lon"))
+    df = (
+        pts.withColumn("_cells", cells)
+        .withColumn("cell13", F.col("_cells.s2"))
+        .withColumn("h3_9", F.col("_cells.h3"))
+        .drop("_cells")
+    )
+    plan = _formatted(df)
+    # tree form "ArrowEvalPython (n)" — the detail section repeats the
+    # node as "(n) ArrowEvalPython", so count tree nodes only
+    assert plan.count("ArrowEvalPython (") == 1, plan

@@ -199,3 +199,145 @@ def test_tile_rollup_plain_vs_salted(spark, world):
     assert (p.cell == s.cell).all()
     assert (p.n == s.n).all()
     np.testing.assert_allclose(p.avg_lat, s.avg_lat, rtol=1e-12)
+
+
+def _pentagon_cloud(n=120, seed=3):
+    """Points scattered across the distortion neighborhood of the base
+    cell 14 pentagon (the advisor's counterexample region: local spacing
+    there approaches the global minimum the old bound used, so an
+    unsound finish terminates while a closer unsearched neighbor
+    exists)."""
+    import numpy as np
+    from nominatimwrapper_spark.functions.h3 import cell_to_latlng
+
+    pla, plo = cell_to_latlng(np.array([0x821C07FFFFFFFFF], dtype=np.uint64))
+    rng = np.random.default_rng(seed)
+    lat = pla[0] + rng.uniform(-1.2, 1.2, n)
+    lon = plo[0] + rng.uniform(-2.4, 2.4, n)
+    return pd.DataFrame(dict(idx=range(n), lat=lat, lon=lon))
+
+
+def test_knn_h3_exact_near_pentagon(spark):
+    """ADVICE (round 3, high): the r*min_spacing finish bound was
+    unsound for hex grid distance near pentagon-distorted regions. The
+    calibrated per-ring reach bound must keep knn_h3 value-identical to
+    brute force for query/target points AT the distortion extreme."""
+    from nominatimwrapper_spark.operators.spatial import knn_h3
+
+    cloud = _pentagon_cloud(150)
+    targets = spark.createDataFrame(
+        cloud.rename(columns={"idx": "place_id"})
+    )
+    queries = spark.createDataFrame(
+        cloud.head(40).rename(columns={"idx": "query_id"})
+    )
+    bf = knn_bruteforce(queries, targets, k=4).select(
+        "query_id", "neighbor_id", "knn_rank", "dist_km"
+    ).toPandas().sort_values(["query_id", "knn_rank"]).reset_index(drop=True)
+    for res in (4, 5):
+        got = knn_h3(queries, targets, k=4, res=res, max_rings=12).select(
+            "query_id", "neighbor_id", "knn_rank", "dist_km"
+        ).toPandas().sort_values(["query_id", "knn_rank"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(bf, got, check_like=True)
+
+
+def test_knn_h3_shuffle_regime_matches_bruteforce(spark, world):
+    """Above the broadcast byte gate the per-ring join degrades to a
+    shuffle hash join — same values either way."""
+    from nominatimwrapper_spark.operators.spatial import knn_h3
+
+    gaz = spark.read.parquet(f"{world['_dir']}/gazetteer.parquet")
+    targets = gaz.filter(F.col("place_rank") == 30).select("place_id", "lat", "lon")
+    qpdf = world["gazetteer"][world["gazetteer"].place_rank == 26].head(25)[
+        ["place_id", "lat", "lon"]
+    ].rename(columns={"place_id": "query_id"})
+    queries = spark.createDataFrame(qpdf)
+
+    bf = knn_bruteforce(queries, targets, k=3).select("query_id", "neighbor_id", "knn_rank").toPandas()
+    nb = knn_h3(queries, targets, k=3, res=7, force_no_broadcast=True).select(
+        "query_id", "neighbor_id", "knn_rank"
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        bf.sort_values(["query_id", "knn_rank"]).reset_index(drop=True),
+        nb.sort_values(["query_id", "knn_rank"]).reset_index(drop=True),
+    )
+    cc = knn_cells(queries, targets, k=3, force_no_broadcast=True).select(
+        "query_id", "neighbor_id", "knn_rank"
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        bf.sort_values(["query_id", "knn_rank"]).reset_index(drop=True),
+        cc.sort_values(["query_id", "knn_rank"]).reset_index(drop=True),
+    )
+
+
+def test_knn_empty_queries(spark, world):
+    """ADVICE (round 3, low): an empty query frame must return an empty,
+    correctly-shaped result, not IndexError."""
+    from nominatimwrapper_spark.operators.spatial import knn_h3
+
+    gaz = spark.read.parquet(f"{world['_dir']}/gazetteer.parquet")
+    targets = gaz.filter(F.col("place_rank") == 30).select("place_id", "lat", "lon")
+    empty_q = spark.createDataFrame([], "query_id long, lat double, lon double")
+    out = knn_h3(empty_q, targets, k=3, res=7)
+    assert out.count() == 0
+    assert {"query_id", "neighbor_id", "dist_km", "knn_rank"} <= set(out.columns)
+    out2 = knn_cells(empty_q, targets, k=3)
+    assert out2.count() == 0
+    assert {"query_id", "neighbor_id", "dist_km", "knn_rank"} <= set(out2.columns)
+
+
+def test_knn_h3_coarsens_above_query_cell_cap(spark, world):
+    """Above max_query_cells the operator re-runs at the finest fitting
+    coarser resolution instead of raising — values still exact."""
+    from nominatimwrapper_spark.operators.spatial import knn_h3
+
+    gaz = spark.read.parquet(f"{world['_dir']}/gazetteer.parquet")
+    targets = gaz.filter(F.col("place_rank") == 30).select("place_id", "lat", "lon")
+    qpdf = world["gazetteer"][world["gazetteer"].place_rank == 26].head(30)[
+        ["place_id", "lat", "lon"]
+    ].rename(columns={"place_id": "query_id"})
+    queries = spark.createDataFrame(qpdf)
+
+    bf = knn_bruteforce(queries, targets, k=3).select("query_id", "neighbor_id", "knn_rank").toPandas()
+    # cap below the distinct res-7 cell count -> forced coarsen
+    got = knn_h3(queries, targets, k=3, res=7, max_query_cells=5).select(
+        "query_id", "neighbor_id", "knn_rank"
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        bf.sort_values(["query_id", "knn_rank"]).reset_index(drop=True),
+        got.sort_values(["query_id", "knn_rank"]).reset_index(drop=True),
+    )
+    with pytest.raises(ValueError, match="query cells"):
+        knn_h3(queries, targets, k=3, res=7, max_query_cells=5, on_overflow="raise")
+
+
+def test_pip_h3_cover_truth_table(spark):
+    """J9 on the H3-native cover (polygon_cover_cells): same truth table
+    as the planar-grid cover, holes included."""
+    polys = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                dict(
+                    poly_id=1, name="holey", post_code="",
+                    ring_xy=[0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0,
+                             4.0, 4.0, 6.0, 4.0, 6.0, 6.0, 4.0, 6.0],
+                    ring_offsets=[0, 8, 16],
+                    bbox_minx=0.0, bbox_miny=0.0, bbox_maxx=10.0, bbox_maxy=10.0,
+                )
+            ]
+        )
+    )
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            dict(
+                pid=[1, 2, 3, 4, 5, 6],
+                lon=[2.0, 5.0, 11.0, 4.5, 9.999999, 0.000001],
+                lat=[2.0, 5.0, 5.0, 5.9999, 9.999999, 0.000001],
+            )
+        )
+    )
+    got = point_in_polygon_join(pts, polys, cover="h3", h3_res=4).toPandas()
+    assert set(got.pid) == {1, 5, 6}
+    left = point_in_polygon_join(pts, polys, how="left", cover="h3", h3_res=4).toPandas()
+    assert len(left) == 6
+    assert left[left.pid == 3].poly_id.isna().all()
