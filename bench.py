@@ -64,6 +64,71 @@ def main() -> None:
         return _flagship(sp, d, replicate=rep, force_no_broadcast=True)
 
     qs["geocode_flagship_nobc"] = _flagship_nobc
+
+    # scaled dedup/ANN legs (round-4): the sf corpus is small enough that
+    # the per-query numbers were noise-dominated; remix-replicate to
+    # ~factor x so signatures + banded joins dominate the wall time
+    dedup_factor = int(os.environ.get("SPARK_GRAFT_DEDUP_FACTOR", "200"))
+    from nominatimwrapper_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        simhash_udf,
+    )
+    from nominatimwrapper_spark.plans.flagship import (
+        documents_scaled,
+        embeddings_scaled,
+    )
+
+    _scaled_cache: dict[str, object] = {}
+
+    def _docs_scaled(sp, d):
+        # materialize the remixed corpus ONCE — the legs measure dedup
+        # throughput (signatures + banded joins), not corpus synthesis
+        if d not in _scaled_cache:
+            _scaled_cache[d] = documents_scaled(sp, d, dedup_factor).localCheckpoint(
+                eager=True
+            )
+        return _scaled_cache[d]
+
+    def _minhash_scaled(sp, d):
+        return minhash_lsh_candidates(
+            _docs_scaled(sp, d), "doc_id", "text", num_hashes=32, bands=8,
+        )
+
+    def _simhash_scaled(sp, d):
+        sh = simhash_udf()
+        from pyspark.sql import functions as SF
+
+        return _docs_scaled(sp, d).select(
+            "doc_id", sh(SF.col("text")).alias("simhash")
+        )
+
+    def _cosine_scaled(sp, d):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as SF
+
+        e = embeddings_scaled(sp, d, dedup_factor)
+        probe = e.filter(SF.col("vec_id") == 0).select(SF.col("embedding").alias("probe"))
+
+        def dot(a, b):
+            return SF.aggregate(
+                SF.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                SF.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+        j = e.crossJoin(SF.broadcast(probe))
+        sim = dot(SF.col("embedding"), SF.col("probe")) / (
+            SF.sqrt(dot(SF.col("embedding"), SF.col("embedding")))
+            * SF.sqrt(dot(SF.col("probe"), SF.col("probe")))
+        )
+        scored = j.select("vec_id", SF.round(sim * 10000).cast("long").alias("sim_1e4"))
+        w = Window.orderBy(SF.col("sim_1e4").desc(), SF.col("vec_id").asc())
+        return scored.withColumn("rank", SF.row_number().over(w)).filter("rank <= 10")
+
+    qs["minhash_lsh_1m"] = _minhash_scaled
+    qs["simhash_1m"] = _simhash_scaled
+    qs["cosine_topk_400k"] = _cosine_scaled
+
     _flagship(spark, sf_dir, replicate=1).write.format("noop").mode("overwrite").save()
     headline = [
         "geocode_flagship",     # the engine's real workload
@@ -81,6 +146,9 @@ def main() -> None:
         "minhash_lsh",
         "token_stats",
         "simhash_near_dups",
+        "minhash_lsh_1m",    # scaled dedup regime (remixed corpus)
+        "simhash_1m",
+        "cosine_topk_400k",  # scaled ANN brute-force regime
     ]
 
     load_before = os.getloadavg()[0]
@@ -97,6 +165,82 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         if name == "geocode_flagship_nobc":  # leg-scoped conf, restore
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+    # lifecycle legs (round-4): the S7 checkpoint/resume job over 8 crawl-
+    # date partitions (cold run + resume run with 4 precompleted) and the
+    # composed streaming flagship (first_seen dedup -> cascade,
+    # availableNow catch-up over 8 file-arrivals). Own sinks, timed whole.
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as SF
+
+    from nominatimwrapper_spark.jobs.geocode_job import run_job
+    from nominatimwrapper_spark.plans.flagship import (
+        gazetteer_index,
+        pages_from_documents,
+        world_dir,
+    )
+    from nominatimwrapper_spark.sources.pages_io import write_pages_partitioned
+    from nominatimwrapper_spark.streaming.geocode_stream import geocode_pages_stream
+
+    life_dir = _tempfile.mkdtemp(prefix="nwspark_bench_life_")
+    try:
+        rep_life = int(os.environ.get("SPARK_GRAFT_LIFECYCLE_REPLICATE", "8"))
+        pages = pages_from_documents(spark, sf_dir, replicate=rep_life)
+        # exactly 8 crawl-date partitions: the base warc_ts drifts by
+        # doc_id minutes (~28 days at bench scale), so rebase it fully
+        pages8 = pages.withColumn(
+            "warc_ts",
+            SF.lit("2025-03-01 00:00:00").cast("timestamp")
+            + SF.make_interval(days=SF.crc32("url") % 8),
+        )
+        pages_dir = os.path.join(life_dir, "pages")
+        write_pages_partitioned(pages8, pages_dir)
+        n_pages_life = pages8.count()
+        gaz_path = f"{world_dir()}/gazetteer.parquet"
+
+        out_a = os.path.join(life_dir, "job_out")
+        dates = sorted(
+            d.split("=", 1)[1] for d in os.listdir(pages_dir) if d.startswith("crawl_date=")
+        )
+        assert len(dates) == 8, f"expected 8 crawl-date partitions, got {len(dates)}"
+        t0 = time.time()
+        run_job(spark, pages_dir, gaz_path, out_a, date_to=dates[3])
+        timings["checkpoint_job_4parts"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        m = run_job(spark, pages_dir, gaz_path, out_a)  # resume: 4 skipped
+        timings["checkpoint_resume_8parts"] = round(time.time() - t0, 3)
+        n_resumed = sum(1 for v in m.values() if v.get("resumed"))
+        assert n_resumed == 4, f"resume leg recomputed: {m}"
+
+        stream_in = os.path.join(life_dir, "stream_in")
+        os.makedirs(stream_in)
+        stage = os.path.join(life_dir, "_stage")
+        for b in range(8):
+            part = pages8.filter(SF.crc32("url") % 8 == b)
+            part.coalesce(1).write.mode("overwrite").parquet(stage)
+            src = _glob.glob(f"{stage}/part-*.parquet")[0]
+            _shutil.move(src, os.path.join(stream_in, f"{b:03d}.parquet"))
+        index = gazetteer_index(spark)
+        # micro-batches are fixed-overhead bound at bench page counts: 128
+        # shuffle partitions means 128 state-store tasks per epoch for the
+        # first_seen dedup. Run the stream at one task per core (leg-scoped;
+        # a fresh checkpoint dir each bench, so the state partitioning is
+        # free to differ from the batch legs)
+        spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
+        t0 = time.time()
+        q = geocode_pages_stream(
+            spark, stream_in, index,
+            os.path.join(life_dir, "stream_out"),
+            os.path.join(life_dir, "stream_ck"),
+        )
+        q.awaitTermination()
+        timings["streaming_flagship_8batches"] = round(time.time() - t0, 3)
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
+    finally:
+        _shutil.rmtree(life_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
@@ -118,6 +262,17 @@ def main() -> None:
                 "flagship_big_pages": n_docs * rep_big,
                 "flagship_big_pages_per_sec": round(
                     n_docs * rep_big / timings["geocode_flagship_big"], 1
+                ),
+                "dedup_docs": n_docs * dedup_factor,
+                "minhash_docs_per_sec": round(
+                    n_docs * dedup_factor / timings["minhash_lsh_1m"], 1
+                ),
+                "simhash_docs_per_sec": round(
+                    n_docs * dedup_factor / timings["simhash_1m"], 1
+                ),
+                "streaming_pages": n_pages_life,
+                "streaming_pages_per_sec": round(
+                    n_pages_life / timings["streaming_flagship_8batches"], 1
                 ),
                 # the host is SHARED: compare against BENCH.md's idle-gated
                 # numbers only when these are ~0 / ~own-worker-count

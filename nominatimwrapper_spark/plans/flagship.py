@@ -268,3 +268,61 @@ def q_ngram_jaccard(spark, sf_dir):
 # (J9/J10 driver queries now run with SQL oracles over derived points —
 # driver_queries.q_pip_rect / q_knn_cells_grid; the flagship-world PIP and
 # gazetteer kNN paths stay covered by tests/test_spatial_pages.py.)
+
+
+def documents_scaled(spark: SparkSession, sf_dir: str, factor: int = 200) -> DataFrame:
+    """~``factor`` x the sf documents corpus with genuinely DISTINCT text
+    per replica: replica r of doc i = left half of doc i + right half of
+    doc (i+r) mod N (pure Column ops; the partner side broadcasts).
+
+    Verbatim replication would make every replica an exact dup and blow
+    the LSH candidate-pair count up quadratically — remixing two
+    documents yields new shingle sets at a realistic near-dup rate, so
+    the scaled dedup bench legs measure signature + banded-join
+    throughput, not a degenerate all-pairs explosion."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    n = d.count()
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    reps = (
+        d.repartition(n_part, "doc_id")
+        .withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
+        .withColumn("_partner", (F.col("doc_id") + F.col("_r")) % F.lit(n))
+    )
+    partner = d.select(F.col("doc_id").alias("_pid"), F.col("text").alias("_ptext"))
+    return (
+        reps.join(F.broadcast(partner), F.col("_partner") == F.col("_pid"))
+        .select(
+            (F.col("doc_id") * factor + F.col("_r")).alias("doc_id"),
+            F.when(F.col("_r") == 0, F.col("text"))
+            .otherwise(
+                F.concat(
+                    F.expr("substring(text, 1, int(length(text) / 2))"),
+                    F.expr("substring(_ptext, int(length(_ptext) / 2) + 1)"),
+                )
+            )
+            .alias("text"),
+        )
+    )
+
+
+def embeddings_scaled(spark: SparkSession, sf_dir: str, factor: int = 200) -> DataFrame:
+    """~``factor`` x the sf embeddings table; each replica is perturbed
+    component-wise (deterministic sin ripple, Column math) so replicas
+    are distinct vectors rather than exact copies."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        e.repartition(n_part, "vec_id")
+        .withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
+        .select(
+            (F.col("vec_id") * factor + F.col("_r")).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                + (F.sin((F.col("_r") + F.lit(1)) * (i + F.lit(1))) * F.lit(0.01)).cast(
+                    "float"
+                ),
+            ).alias("embedding"),
+            "label",
+        )
+    )
