@@ -575,3 +575,34 @@ def test_lsh_dropped_bucket_stats(spark):
     assert (n_buckets, n_rows) == (1, 50)
     n_buckets, n_rows = lsh_dropped_bucket_stats(banded, max_bucket_size=100)
     assert (n_buckets, n_rows) == (0, 0)
+
+
+def test_minhash_agg_signatures_equal_fold_signatures(spark):
+    """The codegen-friendly explode+partial-agg signature path
+    (minhash_signatures_agg, round-4 bench optimization) is value-
+    identical to the higher-order-function fold (minhash_signature) on
+    the driver corpus — including empty/degenerate docs."""
+    from pyspark.sql import functions as F
+
+    from nominatimwrapper_spark.operators.dedup import (
+        minhash_signature,
+        minhash_signatures_agg,
+        word_shingles,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").limit(400)
+    extra = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [90001, 90002, 90003],
+                      "text": ["", "one two", "one two three four"]})
+    )
+    d = d.select("doc_id", "text").unionByName(extra)
+    fold = d.select(
+        F.col("doc_id").alias("_id"),
+        minhash_signature(word_shingles(F.col("text"), 3), 32).alias("_sig"),
+    ).toPandas()
+    agg = minhash_signatures_agg(d, "doc_id", "text", 32, 3).toPandas()
+    fold = fold.sort_values("_id").reset_index(drop=True)
+    agg = agg.sort_values("_id").reset_index(drop=True)
+    assert (fold["_id"] == agg["_id"]).all()
+    for a, b in zip(fold["_sig"], agg["_sig"]):
+        assert list(a) == list(b)
