@@ -1465,6 +1465,38 @@ def cell_to_boundary(cells) -> list[np.ndarray]:
     return out
 
 
+def cell_area_km2(cells) -> np.ndarray:
+    """Spherical area (km^2) of each cell, computed from its boundary
+    polygon by the signed-triangle-fan excess formula (reference
+    surface: h3geo cellAreaKm2). The boundary construction is watertight,
+    so areas over any full tiling sum to exactly 4*pi*R^2 (gated in
+    tests at res 1); R = 6371.0088 km (IUGG mean, the same radius the
+    distance helpers use)."""
+    earth_r = 6371.0088
+    out = np.empty(len(np.asarray(cells, dtype=np.uint64)), dtype=np.float64)
+    for i, b in enumerate(cell_to_boundary(cells)):
+        v = np.radians(b)
+        xyz = np.stack(
+            [
+                np.cos(v[:, 0]) * np.cos(v[:, 1]),
+                np.cos(v[:, 0]) * np.sin(v[:, 1]),
+                np.sin(v[:, 0]),
+            ],
+            axis=1,
+        )
+        c = xyz.mean(axis=0)
+        c /= np.linalg.norm(c)
+        total = 0.0
+        n = len(xyz)
+        for j in range(n):
+            a, b2 = xyz[j], xyz[(j + 1) % n]
+            num = np.dot(c, np.cross(a, b2))
+            den = 1.0 + np.dot(c, a) + np.dot(a, b2) + np.dot(b2, c)
+            total += 2.0 * np.arctan2(num, den)
+        out[i] = abs(total) * earth_r * earth_r
+    return out
+
+
 def polygon_to_cells(ring_xy, res: int, ring_offsets=None) -> np.ndarray:
     """polygonToCells (center-containment polyfill): all cells at ``res``
     whose CENTER lies inside the polygon — H3's published fill semantics.

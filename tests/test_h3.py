@@ -632,3 +632,20 @@ def test_center_probe_property_pentagon_sweep():
     for i, c in enumerate(arr):
         need = 5 if H.h3_is_pentagon(int(c)) else 6
         assert hits[i] >= need, f"{int(c):x}: {hits[i]}"
+
+
+def test_cell_area_sums_to_earth_surface():
+    """cellAreaKm2 analog: the 842 res-1 cell areas sum to exactly
+    4*pi*R^2 (watertight boundary => exact partition of the sphere), no
+    cell has area <= 0, and pentagon cells are smaller than the mean
+    hexagon (the aperture-7 pentagon deficit)."""
+    lat, lng = _uniform_sphere(60_000)
+    cells = np.unique(H.latlng_to_cell(lat, lng, 1))
+    assert len(cells) == 842
+    areas = H.cell_area_km2(cells)
+    earth = 4 * np.pi * 6371.0088 ** 2
+    assert abs(areas.sum() - earth) < 1e-6 * earth
+    assert (areas > 0).all()
+    pent = np.array([H.h3_is_pentagon(int(c)) for c in cells])
+    assert pent.sum() == 12
+    assert areas[pent].max() < areas[~pent].mean()
