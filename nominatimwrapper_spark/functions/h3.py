@@ -1039,6 +1039,10 @@ def cell_to_latlng(cells) -> tuple[np.ndarray, np.ndarray]:
     plotting, fixtures) — the corpus hot path never needs centers."""
     h = np.asarray(cells, dtype=np.uint64)
     n = len(h)
+    valid = h3_is_valid_cells(h)
+    if n and not valid.all():
+        bad = int(h[np.argmin(valid)])
+        raise ValueError(f"cell_to_latlng: invalid H3 index {bad:x}")
     res = ((h >> np.uint64(52)) & np.uint64(0xF)).astype(np.int64)
     if n and not (res == res[0]).all():
         raise ValueError("cell_to_latlng: mixed resolutions in one batch")
@@ -1465,6 +1469,39 @@ def cell_to_boundary(cells) -> list[np.ndarray]:
     return out
 
 
+def h3_boundary_col(cell_col):
+    """Boundary vertices as an array<array<double>> Column ([lat, lng]
+    pairs, CCW) — cell_to_boundary behind a pandas UDF so rendering /
+    GeoJSON export of tile rollups runs ON THE EXECUTORS instead of
+    collecting cells to the driver. Each Arrow batch is grouped by
+    resolution (the boundary kernel is single-res per call); the
+    neighbor memoization cache warms per executor, so repeated cells in
+    a rollup batch are nearly free. Null cells yield null boundaries."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    @pandas_udf(ArrayType(ArrayType(DoubleType())))
+    def _boundary(cells: pd.Series) -> pd.Series:
+        # nulls are coalesced to 0 JVM-side BEFORE the crossing: an int64
+        # column with nulls arrives as float64 in pandas, which cannot
+        # represent H3 ids (> 2^53) and silently corrupts the low bits
+        h = cells.to_numpy(dtype=np.int64).astype(np.uint64)
+        out = [None] * len(h)
+        ok = h != 0
+        res = (h >> np.uint64(52)) & np.uint64(0xF)
+        idx_ok = np.where(ok)[0]
+        for r in np.unique(res[ok]):
+            sel = ok & (res == r)
+            bs = cell_to_boundary(h[sel])
+            for i, b in zip(np.where(sel)[0], bs):
+                out[i] = [[float(v[0]), float(v[1])] for v in b]
+        return pd.Series(out)
+
+    return F.when(
+        cell_col.isNotNull(), _boundary(F.coalesce(cell_col, F.lit(0)))
+    )
+
+
 def cell_area_km2(cells) -> np.ndarray:
     """Spherical area (km^2) of each cell, computed from its boundary
     polygon by the signed-triangle-fan excess formula (reference
@@ -1759,6 +1796,38 @@ def h3_is_pentagon(h: int) -> bool:
         return False
     res = h3_get_resolution(h)
     return all(h3_digit(h, r) == 0 for r in range(1, res + 1))
+
+
+def h3_is_valid_cells(cells) -> np.ndarray:
+    """Vectorized structural validity (reference surface: h3geo
+    isValidCell): high bit 0, mode 1, reserved bits 0, base cell < 122,
+    digits 1..res in 0..6, digits past res all 7, and in pentagon base
+    cells the leading nonzero digit is never K=1 (deleted subsequence)."""
+    h = np.asarray(cells, dtype=np.uint64)
+    res = ((h >> np.uint64(52)) & np.uint64(0xF)).astype(np.int64)
+    bc = ((h >> np.uint64(45)) & np.uint64(0x7F)).astype(np.int64)
+    ok = (
+        ((h >> np.uint64(63)) == 0)
+        & (((h >> np.uint64(59)) & np.uint64(0xF)) == 1)
+        & (((h >> np.uint64(56)) & np.uint64(0x7)) == 0)
+        & (bc < NUM_BASE_CELLS)
+    )
+    lead = np.zeros(len(h), dtype=np.int64)
+    for r in range(1, MAX_RES + 1):
+        d = ((h >> np.uint64((MAX_RES - r) * 3)) & np.uint64(0x7)).astype(np.int64)
+        used = r <= res
+        ok &= np.where(used, d != 7, d == 7)
+        first = used & (lead == 0) & (d != 0)
+        lead = np.where(first, d, lead)
+    pent = np.zeros(len(h), dtype=bool)
+    in_range = bc < NUM_BASE_CELLS
+    pent[in_range] = _IS_PENT[bc[in_range]]
+    ok &= ~(pent & (lead == 1))
+    return ok
+
+
+def h3_is_valid_cell(h: int) -> bool:
+    return bool(h3_is_valid_cells(np.array([h], dtype=np.uint64))[0])
 
 
 def h3_center_child(h: int, child_res: int) -> int:

@@ -61,6 +61,10 @@ def _uniform_sphere(n):
         # discussions. Equatorial + pentagon-cell containment pin in the
         # Atlantic/Africa chart.
         (0.0, 0.0, 0, 0x8075FFFFFFFFFFF),
+        # CARTO Analytics Toolbox docs, H3_FROMGEOGPOINT example —
+        # ST_GEOGPOINT(-3.7038, 40.4168) at res 4 = '84390cbffffffff'
+        # (Madrid, base cell 28 — a SIXTH pinned chart, Iberia).
+        (40.4168, -3.7038, 4, 0x84390CBFFFFFFFF),
     ],
 )
 def test_published_vectors(lat, lng, res, want):
@@ -76,6 +80,7 @@ def test_published_vectors(lat, lng, res, want):
     | Moscow res 15           | 8         | ClickHouse geoToH3 docs      |
     | Golden Gate res 13      | 20        | Databricks h3_longlatash3 docs |
     | Null Island res 0       | 58 (pent) | public h3 issue discussions  |
+    | Madrid res 4            | 28        | CARTO H3_FROMGEOGPOINT docs  |
 
     A southern-hemisphere literal could not be transcribed with
     confidence from any public doc (candidates tried and rejected are
@@ -131,9 +136,10 @@ def test_base_cell_coverage_of_pins():
             0x8075FFFFFFFFFFF,   # 58 (pentagon)
             599405990164561919,  # 12
             577023702256844799,  # 15
+            0x84390CBFFFFFFFF,   # 28 (Madrid)
         )
     }
-    assert len(pinned) >= 5
+    assert len(pinned) >= 6
     assert any(bc in H.PENTAGON_BASE_CELLS for bc in pinned)
 
 
@@ -649,3 +655,56 @@ def test_cell_area_sums_to_earth_surface():
     pent = np.array([H.h3_is_pentagon(int(c)) for c in cells])
     assert pent.sum() == 12
     assert areas[pent].max() < areas[~pent].mean()
+
+
+def test_is_valid_cell():
+    """isValidCell analog: all pinned cells valid; malformed indexes
+    (digit 7 in range, wrong mode, pentagon leading-K, tail not 7s,
+    base cell >= 122, high bit) rejected — and cell_to_latlng refuses
+    invalid input up front instead of failing mid-descent."""
+    good = [0x85283473FFFFFFF, 644325524701193974, 0x8075FFFFFFFFFFF,
+            0x84390CBFFFFFFFF, 0x821C07FFFFFFFFF]
+    assert H.h3_is_valid_cells(np.array(good, dtype=np.uint64)).all()
+    # 644325204926508812: a mis-transcribed decimal with digit 7s in
+    # range — the round-4 probe that motivated this check
+    bad = [
+        644325204926508812,
+        0x95283473FFFFFFF,         # mode 2 hmm -> (h>>59)&0xF != 1
+        (1 << 63) | 0x85283473FFFFFFF,  # high bit
+        0x85283473FFFFFFE,         # tail digit not 7
+        (1 << 59) | (125 << 45) | ((1 << 45) - 1),  # base cell 125
+        # res-1 child K of the bc-14 pentagon: deleted subsequence
+        (1 << 59) | (1 << 52) | (14 << 45) | (1 << 42) | ((1 << 42) - 1),
+    ]
+    got = H.h3_is_valid_cells(np.array(bad, dtype=np.uint64))
+    assert not got.any(), got
+    with pytest.raises(ValueError, match="invalid H3 index"):
+        H.cell_to_latlng(np.array([644325204926508812], dtype=np.uint64))
+    # random uniform valid cells stay valid at several res
+    lat, lng = _uniform_sphere(2000)
+    for res in (0, 3, 9, 15):
+        cells = H.latlng_to_cell(lat, lng, res)
+        assert H.h3_is_valid_cells(cells).all(), res
+
+
+def test_h3_boundary_col_distributed(spark):
+    """Executor-side boundary UDF == driver-side cell_to_boundary,
+    mixed resolutions and nulls in one column."""
+    lat, lng = _uniform_sphere(40)
+    c5 = H.latlng_to_cell(lat, lng, 5).astype(np.int64)
+    c8 = H.latlng_to_cell(lat, lng, 8).astype(np.int64)
+    rows = [(int(c),) for c in c5] + [(int(c),) for c in c8] + [(None,)]
+    df = spark.createDataFrame(rows, "cell long")
+    rows_out = df.select("cell", H.h3_boundary_col(df.cell).alias("b")).collect()
+    by_cell = {}
+    for r in rows_out:
+        if r.cell is None:
+            assert r.b is None
+        else:
+            by_cell[r.cell] = np.array([list(v) for v in r.b])
+    for arr in (c5, c8):
+        want = H.cell_to_boundary(arr.astype(np.uint64))
+        for c, w in zip(arr, want):
+            g = by_cell[int(c)]
+            assert g.shape == w.shape
+            assert np.allclose(g, w, atol=1e-12), int(c)
