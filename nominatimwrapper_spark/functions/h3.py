@@ -1469,6 +1469,35 @@ def cell_to_boundary(cells) -> list[np.ndarray]:
     return out
 
 
+def grid_distance(a: int, b: int, max_k: int = 64) -> int:
+    """Grid distance between two same-res cells (reference surface:
+    h3geo gridDistance), by expanding BFS over the production neighbor
+    step — exact by construction wherever it answers, including across
+    pentagon distortion (where coordinate-translation implementations
+    give up). Raises above ``max_k`` rings; like the reference, distant
+    pairs are out of contract (use coarser parents first)."""
+    a, b = int(a), int(b)
+    if (a >> 52) & 0xF != (b >> 52) & 0xF:
+        raise ValueError("grid_distance: resolutions differ")
+    if a == b:
+        return 0
+    seen = {a}
+    frontier = {a}
+    for k in range(1, max_k + 1):
+        neigh = grid_neighbors(np.array(sorted(frontier), dtype=np.uint64))
+        nxt = set()
+        for c in frontier:
+            nxt |= neigh[c]
+        nxt -= seen
+        if b in nxt:
+            return k
+        seen |= nxt
+        frontier = nxt
+        if not frontier:
+            break
+    raise ValueError(f"grid_distance: > {max_k} rings apart")
+
+
 def h3_boundary_col(cell_col):
     """Boundary vertices as an array<array<double>> Column ([lat, lng]
     pairs, CCW) — cell_to_boundary behind a pandas UDF so rendering /

@@ -708,3 +708,24 @@ def test_h3_boundary_col_distributed(spark):
             g = by_cell[int(c)]
             assert g.shape == w.shape
             assert np.allclose(g, w, atol=1e-12), int(c)
+
+
+def test_grid_distance():
+    """gridDistance analog: distance to every ring-r member is exactly r
+    (by the ring construction, an independent traversal), symmetric, 0
+    to self — including around a pentagon."""
+    origins = np.array(
+        [0x8928308280FFFFF,
+         H.h3_center_child((1 << 59) | (14 << 45) | ((1 << 45) - 1), 9)],
+        dtype=np.uint64,
+    )
+    rings = H.grid_rings(origins, 3)
+    for oi, per in enumerate(rings):
+        o = int(origins[oi])
+        assert H.grid_distance(o, o) == 0
+        for r in range(1, 4):
+            for c in sorted(per[r])[:4]:
+                assert H.grid_distance(o, c) == r
+                assert H.grid_distance(c, o) == r
+    with pytest.raises(ValueError, match="resolutions differ"):
+        H.grid_distance(0x8928308280FFFFF, 0x85283473FFFFFFF)
