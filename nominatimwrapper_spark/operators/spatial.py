@@ -503,38 +503,88 @@ def knn_h3(
         "_qoff", haversine_col(F.col("lat"), F.col("lon"), F.col("_qclat"), F.col("_qclng"))
     ).drop("_qclat", "_qclng")
 
-    # per-query-cell BFS state for lazy shells
+    # per-query-cell BFS state for lazy shells; centers memoized across
+    # rings (ring cells recur across nearby query cells)
     seen: dict[int, set[int]] = {int(c): {int(c)} for c in qcells}
-    frontier: dict[int, set[int]] = {int(c): {int(c)} for c in qcells}
+    qcenter: dict[int, tuple[float, float]] = (
+        {int(c): (float(a), float(b)) for c, a, b in zip(qarr, qla, qlo)}
+        if len(qarr)
+        else {}
+    )
+    center_cache: dict[int, tuple[float, float]] = dict(qcenter)
 
+    def _centers_of(cells_set: set[int]) -> None:
+        todo = sorted(cells_set - center_cache.keys())
+        if todo:
+            ta = np.array(todo, dtype=np.uint64)
+            tla, tlo = cell_to_latlng(ta)
+            center_cache.update(
+                (int(c), (float(a), float(b))) for c, a, b in zip(todo, tla, tlo)
+            )
+
+    def _bfs_step(cur: dict[int, set[int]]) -> dict[int, set[int]]:
+        flat = sorted({s for c, sh in cur.items() if sh for s in sh})
+        if not flat:
+            return {c: set() for c in cur}
+        neigh = grid_neighbors(np.array(flat, dtype=np.uint64))
+        out = {}
+        for c, sh in cur.items():
+            nxt = set()
+            for s in sh:
+                nxt |= neigh[s]
+            nxt -= seen[c]
+            seen[c] |= nxt
+            out[c] = nxt
+        return out
+
+    def _hav_np(a, b):
+        (la1, lo1), (la2, lo2) = a, b
+        r1, r2 = np.radians(la1), np.radians(la2)
+        dla = np.radians(la2 - la1)
+        dlo = np.radians(lo2 - lo1)
+        h_ = np.sin(dla / 2) ** 2 + np.cos(r1) * np.cos(r2) * np.sin(dlo / 2) ** 2
+        return 2 * 6371.0088 * float(np.arcsin(np.sqrt(min(max(h_, 0.0), 1.0))))
+
+    shells: dict[int, set[int]] = {int(c): {int(c)} for c in qcells}
     remaining = q
     acc: DataFrame | None = None
     done_parts: list[DataFrame] = []
     empty_shell = spark.createDataFrame([], "_qcell long, _cell long")
+    empty_bounds = spark.createDataFrame([], "_qcell long, _local double")
     for r in range(max_rings + 1):
-        active = [c for c in seen if frontier[c]]
-        if r == 0:
-            shells = {c: {c} for c in active}
-        else:
-            flat = sorted({s for c in active for s in frontier[c]})
-            if flat:
-                neigh = grid_neighbors(np.array(flat, dtype=np.uint64))
-            shells = {}
-            for c in active:
-                nxt = set()
-                for s in frontier[c]:
-                    nxt |= neigh[s]
-                nxt -= seen[c]
-                seen[c] |= nxt
-                shells[c] = nxt
-            frontier = {c: shells.get(c, set()) for c in seen}
-        rows = [(int(c), int(s)) for c in active for s in shells.get(c, ())]
+        active = [c for c in shells if shells[c]]
+        rows = [(int(c), int(s)) for c in active for s in shells[c]]
         exhausted = not rows and r > 0  # every active query searched the sphere
         ring_map = (
             spark.createDataFrame(pd.DataFrame(rows, columns=["_qcell", "_cell"]))
             if rows
             else empty_shell
         )
+        # ONE-RING LOOKAHEAD for the finish bound: ring r+1's shells are
+        # computed now, so the bound can use each query cell's EXACT
+        # minimum center distance to its next ring (local grid spacing —
+        # typically ~1.7x the pentagon-depressed global minimum), with
+        # the global suffix table covering rings >= r+2 only.
+        next_shells = _bfs_step(shells)
+        local_rows = []
+        if r < max_rings:
+            want = set()
+            for c in active:
+                want |= next_shells.get(c, set())
+            _centers_of(want)
+            for c in active:
+                nxt = next_shells.get(c, set())
+                if nxt:
+                    lm = min(_hav_np(qcenter[c], center_cache[s]) for s in nxt)
+                else:
+                    lm = float("inf")  # sphere exhausted: nothing unsearched at r+1
+                local_rows.append((int(c), lm * 0.999))  # float-safety margin
+        local_bounds = (
+            spark.createDataFrame(pd.DataFrame(local_rows, columns=["_qcell", "_local"]))
+            if local_rows
+            else empty_bounds
+        )
+
         shell_df = remaining.join(F.broadcast(ring_map), on="_qcell", how="inner")
         shell_df = _knn_target_join(shell_df, t, no_bc)
         acc = shell_df if acc is None else acc.unionByName(shell_df)
@@ -550,12 +600,20 @@ def knn_h3(
             F.max("dist_km").alias("_kth"),
             F.count("*").alias("_n"),
             F.max("_qoff").alias("_qo"),
+            F.max("_qcell").alias("_qc"),
         )
-        # any unsearched target sits in a cell at grid distance >= r+1:
-        # its distance >= suffix_d[r] (min center spacing) minus r_max
-        # (the target's max center offset) minus the query point's ACTUAL
-        # center offset
-        finish_km = F.lit(float(suffix_d[r] - r_max)) - F.col("_qo")
+        # any unsearched target sits either in ring r+1 (exact local
+        # minimum center distance, computed above) or at grid distance
+        # >= r+2 (global suffix table); both net the target's max center
+        # offset and the query point's ACTUAL center offset
+        glob_next = float(suffix_d[r + 1]) if r + 1 < len(suffix_d) else float(suffix_d[-1])
+        kth = kth.join(
+            F.broadcast(local_bounds), kth._qc == local_bounds._qcell, "left"
+        )
+        bound_center = F.least(
+            F.coalesce(F.col("_local"), F.lit(float("inf"))), F.lit(glob_next)
+        )
+        finish_km = bound_center - F.lit(float(r_max)) - F.col("_qo")
         finished_keys = kth.filter(
             (F.col("_n") >= k) & (F.col("_kth") <= finish_km)
         ).select(query_id)
@@ -573,6 +631,7 @@ def knn_h3(
         if exhausted or remaining.isEmpty():
             break
         acc = acc.join(finished_keys, on=query_id, how="left_anti")
+        shells = next_shells
 
     out = done_parts[0]
     for p_ in done_parts[1:]:
