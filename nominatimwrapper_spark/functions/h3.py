@@ -1873,3 +1873,8 @@ def h3_center_child(h: int, child_res: int) -> int:
 
 def h3_to_string(h: int) -> str:
     return format(h, "x")
+
+
+def string_to_h3(s: str) -> int:
+    """Hex string -> index (reference surface: h3geo stringToH3)."""
+    return int(s, 16)

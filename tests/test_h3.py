@@ -729,3 +729,9 @@ def test_grid_distance():
                 assert H.grid_distance(c, o) == r
     with pytest.raises(ValueError, match="resolutions differ"):
         H.grid_distance(0x8928308280FFFFF, 0x85283473FFFFFFF)
+
+
+def test_string_roundtrip():
+    for h in (0x85283473FFFFFFF, 644325524701193974, 0x8075FFFFFFFFFFF):
+        assert H.string_to_h3(H.h3_to_string(h)) == h
+    assert H.h3_to_string(0x85283473FFFFFFF) == "85283473fffffff"
