@@ -143,6 +143,32 @@ def point_in_polygon_join(
     if cover == "h3":
         from ..functions.h3 import h3_cell_col
 
+        if h3_res is None:
+            # auto: finest res whose min cell spacing >= ~1/24 of the
+            # mean polygon extent — covers land in O(100s) of cells per
+            # polygon instead of exploding at a too-fine static res (or
+            # over-joining points at a too-coarse one). One tiny agg on
+            # the SMALL (polygon) side.
+            from ..functions.h3 import _EMB_REACH
+
+            row = polygons.agg(
+                F.avg(F.col("bbox_maxx") - F.col("bbox_minx")).alias("dx"),
+                F.avg(F.col("bbox_maxy") - F.col("bbox_miny")).alias("dy"),
+                F.avg((F.col("bbox_miny") + F.col("bbox_maxy")) / 2).alias("midlat"),
+            ).first()
+            ext_km = max(
+                float(row["dy"] or 0.0) * 111.19492664455873,
+                float(row["dx"] or 0.0)
+                * 111.19492664455873
+                * max(math.cos(math.radians(float(row["midlat"] or 0.0))), 0.05),
+                1e-6,
+            )
+            h3_res = 0
+            for cand in range(15, -1, -1):
+                if _EMB_REACH[cand][1] >= ext_km / 24.0:
+                    h3_res = cand
+                    break
+
         cover_cells = _h3_cover_udf(h3_res)(F.col("ring_xy"), F.col("ring_offsets"))
         pt_cell = h3_cell_col(F.col(lat_col), F.col(lon_col), h3_res)
     else:

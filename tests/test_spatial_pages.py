@@ -341,3 +341,32 @@ def test_pip_h3_cover_truth_table(spark):
     left = point_in_polygon_join(pts, polys, how="left", cover="h3", h3_res=4).toPandas()
     assert len(left) == 6
     assert left[left.pid == 3].poly_id.isna().all()
+
+
+def test_pip_h3_cover_auto_res(spark):
+    """cover='h3' with h3_res=None picks a resolution from the polygon
+    extent and still matches the truth table."""
+    polys = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                dict(
+                    poly_id=1, name="holey", post_code="",
+                    ring_xy=[0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0,
+                             4.0, 4.0, 6.0, 4.0, 6.0, 6.0, 4.0, 6.0],
+                    ring_offsets=[0, 8, 16],
+                    bbox_minx=0.0, bbox_miny=0.0, bbox_maxx=10.0, bbox_maxy=10.0,
+                )
+            ]
+        )
+    )
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            dict(
+                pid=[1, 2, 3, 4, 5],
+                lon=[2.0, 5.0, 11.0, 4.5, 9.999999],
+                lat=[2.0, 5.0, 5.0, 5.9999, 9.999999],
+            )
+        )
+    )
+    got = point_in_polygon_join(pts, polys, cover="h3", h3_res=None).toPandas()
+    assert set(got.pid) == {1, 5}
