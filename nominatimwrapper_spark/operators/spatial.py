@@ -448,12 +448,14 @@ def knn_h3(
     Same incremental-shell contract as ``knn_cells``: ring r joins only
     the cells at exactly grid distance r, candidates accumulate, and a
     query finishes once its k-th neighbor is provably closer than any
-    point in an unsearched cell. The finish bound comes from the
-    calibrated reach table (functions/h3.py ring_finish_reach_km —
-    per-ring minimum center distances over the pentagon/seam distortion
-    extremes, minus the target's max center offset and the query point's
-    ACTUAL center offset), replacing the round-3 ``r * min_spacing``
-    bound that was unsound for hex grid distance (zigzag centers).
+    point in an unsearched cell. The finish bound is per query cell
+    with a ONE-RING LOOKAHEAD: ring r+1's exact minimum center distance
+    (its shells are driver-computed anyway), plus the calibrated reach
+    table (functions/h3.py ring_finish_reach_km — per-ring minima over
+    the pentagon/seam distortion extremes) for rings >= r+2, minus the
+    target's max center offset and the query point's ACTUAL center
+    offset. Replaces the round-3 ``r * min_spacing`` bound that was
+    unsound for hex grid distance (zigzag centers).
 
     Scale shape:
     - ring shells are built LAZILY per ring from the still-active query
