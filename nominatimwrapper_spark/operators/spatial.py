@@ -266,12 +266,13 @@ def knn_cells(
     planet-scale target corpus.
     """
     w_cells = 360 * cells_per_degree
+    # narrow projection cached: each ring is its own action (see knn_h3)
     t = targets.select(
         F.col(target_id).alias("_tid"),
         F.col("lat").alias("_tlat"),
         F.col("lon").alias("_tlon"),
         grid_cell_col(F.col("lat"), F.col("lon"), cells_per_degree).alias("_tcell"),
-    )
+    ).cache()
     no_bc = _targets_too_big_to_broadcast(t, broadcast_max_bytes, force_no_broadcast)
 
     q = queries.withColumn("_qcell", grid_cell_col(F.col("lat"), F.col("lon"), cells_per_degree))
@@ -501,12 +502,15 @@ def knn_h3(
                 )
         raise ValueError("knn_h3: query cells exceed the cap even at res 0")
 
+    # cache the NARROW target projection (id, lat, lon, cell — ~32 B/row,
+    # spillable): every ring is a separate action, so an uncached t would
+    # re-scan the corpus and re-run the cell-tagging UDF per ring
     t = targets.select(
         F.col(target_id).alias("_tid"),
         F.col("lat").alias("_tlat"),
         F.col("lon").alias("_tlon"),
         h3_cell_col(F.col("lat"), F.col("lon"), res).alias("_tcell"),
-    )
+    ).cache()
     spark = queries.sparkSession
     no_bc = _targets_too_big_to_broadcast(
         t, broadcast_max_bytes, force_no_broadcast
