@@ -102,11 +102,19 @@ def main() -> None:
             "doc_id", sh(SF.col("text")).alias("simhash")
         )
 
+    def _emb_scaled(sp, d):
+        key = f"emb::{d}"
+        if key not in _scaled_cache:
+            _scaled_cache[key] = embeddings_scaled(sp, d, dedup_factor).localCheckpoint(
+                eager=True
+            )
+        return _scaled_cache[key]
+
     def _cosine_scaled(sp, d):
         from pyspark.sql import Window
         from pyspark.sql import functions as SF
 
-        e = embeddings_scaled(sp, d, dedup_factor)
+        e = _emb_scaled(sp, d)
         probe = e.filter(SF.col("vec_id") == 0).select(SF.col("embedding").alias("probe"))
 
         def dot(a, b):
@@ -125,9 +133,23 @@ def main() -> None:
         w = Window.orderBy(SF.col("sim_1e4").desc(), SF.col("vec_id").asc())
         return scored.withColumn("rank", SF.row_number().over(w)).filter("rank <= 10")
 
+    def _ivf_scaled(sp, d):
+        from pyspark.sql import functions as SF
+
+        from nominatimwrapper_spark.operators.simsearch import cosine_topk_ivf
+
+        e = _emb_scaled(sp, d)
+        probes = e.filter(SF.col("vec_id") < 8).selectExpr(
+            "vec_id as probe_id", "embedding"
+        )
+        # timed leg includes the index BUILD (one TakeOrderedAndProject
+        # corpus job + driver k-means) + assignment + bucketed search
+        return cosine_topk_ivf(e, probes, k=10, n_centroids=128, nprobe=8)
+
     qs["minhash_lsh_1m"] = _minhash_scaled
     qs["simhash_1m"] = _simhash_scaled
     qs["cosine_topk_400k"] = _cosine_scaled
+    qs["ivf_topk_400k"] = _ivf_scaled
 
     _flagship(spark, sf_dir, replicate=1).write.format("noop").mode("overwrite").save()
     headline = [
@@ -149,6 +171,7 @@ def main() -> None:
         "minhash_lsh_1m",    # scaled dedup regime (remixed corpus)
         "simhash_1m",
         "cosine_topk_400k",  # scaled ANN brute-force regime
+        "ivf_topk_400k",     # scaled ANN index path (build + query)
     ]
 
     load_before = os.getloadavg()[0]
