@@ -663,7 +663,11 @@ def knn_h3(
         if exhausted or remaining.isEmpty():
             break
         acc = acc.join(finished_keys, on=query_id, how="left_anti")
-        shells = next_shells
+        # prune the BFS to cells some unfinished query still needs — one
+        # small collect on the (checkpointed, capped) query side saves
+        # the driver-side neighbor expansion for finished regions
+        live = {row[0] for row in remaining.select("_qcell").distinct().collect()}
+        shells = {c: s for c, s in next_shells.items() if c in live}
 
     out = done_parts[0]
     for p_ in done_parts[1:]:
