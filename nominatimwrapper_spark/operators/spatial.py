@@ -582,7 +582,7 @@ def knn_h3(
     acc: DataFrame | None = None
     done_parts: list[DataFrame] = []
     empty_shell = spark.createDataFrame([], "_qcell long, _cell long")
-    empty_bounds = spark.createDataFrame([], "_qcell long, _local double")
+    empty_bounds = spark.createDataFrame([], "_qcell long, _local double, _exh boolean")
     for r in range(max_rings + 1):
         active = [c for c in shells if shells[c]]
         rows = [(int(c), int(s)) for c in active for s in shells[c]]
@@ -608,11 +608,16 @@ def knn_h3(
                 nxt = next_shells.get(c, set())
                 if nxt:
                     lm = min(_hav_np(qcenter[c], center_cache[s]) for s in nxt)
+                    local_rows.append((int(c), lm * 0.999, False))  # float margin
                 else:
-                    lm = float("inf")  # sphere exhausted: nothing unsearched at r+1
-                local_rows.append((int(c), lm * 0.999))  # float-safety margin
+                    # BFS exhausted for this cell: disk r covers every
+                    # reachable cell, so NOTHING is unsearched — the
+                    # query is final with whatever it found
+                    local_rows.append((int(c), 0.0, True))
         local_bounds = (
-            spark.createDataFrame(pd.DataFrame(local_rows, columns=["_qcell", "_local"]))
+            spark.createDataFrame(
+                pd.DataFrame(local_rows, columns=["_qcell", "_local", "_exh"])
+            )
             if local_rows
             else empty_bounds
         )
@@ -647,7 +652,8 @@ def knn_h3(
         )
         finish_km = bound_center - F.lit(float(r_max)) - F.col("_qo")
         finished_keys = kth.filter(
-            (F.col("_n") >= k) & (F.col("_kth") <= finish_km)
+            F.coalesce(F.col("_exh"), F.lit(False))
+            | ((F.col("_n") >= k) & (F.col("_kth") <= finish_km))
         ).select(query_id)
         if r == max_rings or exhausted:
             finished_keys = kth.select(query_id)

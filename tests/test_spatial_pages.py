@@ -370,3 +370,30 @@ def test_pip_h3_cover_auto_res(spark):
     )
     got = point_in_polygon_join(pts, polys, cover="h3", h3_res=None).toPandas()
     assert set(got.pid) == {1, 5}
+
+
+def test_knn_h3_k_exceeds_targets_sphere_exhausted(spark):
+    """k larger than the whole target set at a coarse res: the BFS
+    exhausts the sphere and the exhausted-cell finish returns every
+    target per query (matching brute force) without riding out
+    max_rings."""
+    from nominatimwrapper_spark.operators.spatial import knn_h3
+
+    targets = spark.createDataFrame(
+        pd.DataFrame(dict(place_id=[1, 2, 3, 4],
+                          lat=[10.0, -20.0, 40.0, -60.0],
+                          lon=[10.0, 100.0, -120.0, -30.0]))
+    )
+    queries = spark.createDataFrame(
+        pd.DataFrame(dict(query_id=[100, 101], lat=[0.0, 50.0], lon=[0.0, 8.0]))
+    )
+    bf = knn_bruteforce(queries, targets, k=10).select(
+        "query_id", "neighbor_id", "knn_rank"
+    ).toPandas()
+    got = knn_h3(queries, targets, k=10, res=0, max_rings=15).select(
+        "query_id", "neighbor_id", "knn_rank"
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        bf.sort_values(["query_id", "knn_rank"]).reset_index(drop=True),
+        got.sort_values(["query_id", "knn_rank"]).reset_index(drop=True),
+    )
