@@ -397,3 +397,34 @@ def test_knn_h3_k_exceeds_targets_sphere_exhausted(spark):
         bf.sort_values(["query_id", "knn_rank"]).reset_index(drop=True),
         got.sort_values(["query_id", "knn_rank"]).reset_index(drop=True),
     )
+
+
+def test_knn_h3_global_scatter_matches_bruteforce(spark):
+    """Worldwide scatter (both hemispheres, antimeridian, pentagon
+    regions incidental): 300 queries x 3000 targets at res 2 —
+    value-identical to brute force across the whole grid, not just the
+    European synth world."""
+    from nominatimwrapper_spark.operators.spatial import knn_h3
+
+    rng = np.random.default_rng(9)
+    nt, nq = 3000, 300
+    tz, tl = rng.uniform(-1, 1, nt), rng.uniform(-180, 180, nt)
+    targets = spark.createDataFrame(
+        pd.DataFrame(dict(place_id=range(nt),
+                          lat=np.degrees(np.arcsin(tz)), lon=tl))
+    )
+    qz, ql = rng.uniform(-1, 1, nq), rng.uniform(-180, 180, nq)
+    queries = spark.createDataFrame(
+        pd.DataFrame(dict(query_id=range(nq),
+                          lat=np.degrees(np.arcsin(qz)), lon=ql))
+    )
+    bf = knn_bruteforce(queries, targets, k=3).select(
+        "query_id", "neighbor_id", "knn_rank"
+    ).toPandas()
+    got = knn_h3(queries, targets, k=3, res=2, max_rings=15).select(
+        "query_id", "neighbor_id", "knn_rank"
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        bf.sort_values(["query_id", "knn_rank"]).reset_index(drop=True),
+        got.sort_values(["query_id", "knn_rank"]).reset_index(drop=True),
+    )
