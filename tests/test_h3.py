@@ -735,3 +735,54 @@ def test_string_roundtrip():
     for h in (0x85283473FFFFFFF, 644325524701193974, 0x8075FFFFFFFFFFF):
         assert H.string_to_h3(H.h3_to_string(h)) == h
     assert H.h3_to_string(0x85283473FFFFFFF) == "85283473fffffff"
+
+
+def test_fused_cells_udf_null_path(spark):
+    """The fused S2+H3 UDF's null branch: rows with null lat/lon yield
+    null cell ids, and the non-null rows' ids are NOT disturbed by the
+    nullable conversion (the round-4 float64-upcast bug class: int64 ids
+    above 2^53 silently rounding). Values read via collect() — toPandas
+    itself converts nullable longs to float64 and would corrupt the
+    comparison on the READ side."""
+    from nominatimwrapper_spark.functions import geo
+
+    df = spark.createDataFrame(
+        [(1, 50.902557, 4.429058), (2, None, 4.0), (3, 55.71290588, None)],
+        "id long, lat double, lon double",
+    )
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id", geo.s2_h3_cells_udf(13, 9)(df.lat, df.lon).alias("c")
+        )
+        .selectExpr("id", "c.s2 as s2", "c.h3 as h3")
+        .collect()
+    }
+    assert rows[2].s2 is None and rows[2].h3 is None
+    assert rows[3].s2 is None and rows[3].h3 is None
+    assert rows[1].h3 == int(
+        H.latlng_to_cell(np.array([50.902557]), np.array([4.429058]), 9)[0]
+    )
+
+
+def test_hierarchy_overhang_property():
+    """Aperture-7 children OVERHANG their parent hexagon, so
+    latlng_to_cell(p, 8) == parent(latlng_to_cell(p, 9)) holds for most
+    but not all points — exactly as in the reference H3 (its docs warn
+    about this). Gate the true property: the mismatch fraction is the
+    overhang sliver (measured ~7%, consistent with 6 of 7 children being
+    boundary children each overhanging ~8% of their area), and every
+    mismatched parent is a direct NEIGHBOR of the point's own res-8
+    cell."""
+    lat, lng = _uniform_sphere(20_000)
+    c9 = H.latlng_to_cell(lat, lng, 9)
+    c8 = H.latlng_to_cell(lat, lng, 8)
+    par = H._truncate_to_res(c9, 8)
+    mism = par != c8
+    frac = mism.mean()
+    assert 0 < frac < 0.10, frac  # zero would mean fake nesting
+    bad = np.unique(np.stack([c8[mism], par[mism]], axis=1), axis=0)
+    own = np.unique(bad[:, 0])
+    neigh = H.grid_neighbors(own)
+    for o, p in bad:
+        assert int(p) in neigh[int(o)], (hex(int(o)), hex(int(p)))
