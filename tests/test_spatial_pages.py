@@ -428,3 +428,31 @@ def test_knn_h3_global_scatter_matches_bruteforce(spark):
         bf.sort_values(["query_id", "knn_rank"]).reset_index(drop=True),
         got.sort_values(["query_id", "knn_rank"]).reset_index(drop=True),
     )
+
+
+def test_rollup_boundary_export_pipeline(spark):
+    """User-journey composition: geocoded points -> H3 parent rollup
+    (pure bit math) -> executor-side boundary polygons per tile — the
+    rendering/GeoJSON export path, no driver-side cell collection."""
+    from nominatimwrapper_spark.functions.h3 import (
+        cell_to_boundary,
+        h3_boundary_col,
+        h3_parent_col,
+    )
+    from nominatimwrapper_spark.plans.flagship import flagship_cached
+
+    pts = flagship_cached(spark, "/root/testdata/sf0.001")
+    tiles = (
+        pts.withColumn("tile", h3_parent_col(F.col("h3_9"), 5))
+        .groupBy("tile")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("boundary", h3_boundary_col(F.col("tile")))
+    )
+    got = tiles.collect()
+    assert len(got) > 0
+    assert sum(r.n for r in got) == pts.count()
+    for r in got:
+        assert r.boundary is not None and len(r.boundary) in (5, 6)
+        # executor-side boundary equals the driver-side kernel
+        want = cell_to_boundary(np.array([r.tile], dtype=np.uint64))[0]
+        assert np.allclose(np.array([list(v) for v in r.boundary]), want, atol=1e-12)
