@@ -70,3 +70,40 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert "cell13" in df.columns and "method" in df.columns
+
+
+def test_bench_script_end_to_end_smoke():
+    """bench.py (the driver's per-round artifact producer) runs end to
+    end at minimal scale and prints exactly one valid JSON line with
+    every expected leg present and positive."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_FLAGSHIP_REPLICATE="2",
+        SPARK_GRAFT_DEDUP_FACTOR="2",
+        SPARK_GRAFT_LIFECYCLE_REPLICATE="1",
+        SPARK_GRAFT_SHUFFLE_PARTITIONS="8",
+        SPARK_DRIVER_MEMORY="4g",
+    )
+    proc = subprocess.run(
+        [sys.executable, "bench.py"],
+        capture_output=True, text=True, timeout=900,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = proc.stdout.strip().splitlines()[-1]
+    d = json.loads(line)
+    assert d["metric"] == "headline_total_runtime" and d["value"] > 0
+    for leg in (
+        "geocode_flagship", "geocode_flagship_nobc", "minhash_lsh_1m",
+        "ivf_topk_400k", "checkpoint_resume_8parts",
+        "streaming_flagship_8batches",
+    ):
+        assert d["queries"][leg] > 0, leg
