@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_rect": dq.q_pip_rect,                      # J9 (oracled)
         "pip_rect_h3": dq.q_pip_rect_h3,                # J9 on the H3 cover (oracled)
         "dedup_exact": dq.q_dedup_exact,                # dedup: exact
+        "dedup_components": dq.q_dedup_components,      # dedup: CC closure
         "token_stats": dq.q_token_stats,                # text analysis
         "cosine_topk": dq.q_cosine_topk,                # similarity search
         "window_time_bucket": dq.q_window_time_bucket,  # streaming analog
@@ -101,6 +102,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_rect": dq.SQL_PIP_RECT,
         "pip_rect_h3": dq.SQL_PIP_RECT,
         "dedup_exact": dq.SQL_DEDUP,
+        "dedup_components": dq.SQL_COMPONENTS,
         "token_stats": dq.SQL_TOKENS,
         "cosine_topk": dq.SQL_COSINE,
         "window_time_bucket": dq.SQL_WINDOW_BUCKET,

@@ -1266,6 +1266,7 @@ def cell_to_latlng(cells) -> tuple[np.ndarray, np.ndarray]:
 
 
 _NEIGHBOR_CACHE: dict[int, set[int]] = {}
+_NEIGHBOR_CACHE_MAX = 2_000_000  # eviction threshold (patched down in tests)
 
 
 def grid_neighbors(cells) -> dict[int, set[int]]:
@@ -1296,9 +1297,15 @@ def grid_neighbors(cells) -> dict[int, set[int]]:
             for c, v in zip(fa, idx):
                 if v != c:
                     neigh_of[int(c)].add(int(v))
-        if len(_NEIGHBOR_CACHE) > 2_000_000:  # bound driver memory
+        # Capture the answer for the whole batch BEFORE any eviction:
+        # previously-cached entries (flat minus todo) would otherwise be
+        # lost by clear() and raise KeyError on the return lookup.
+        out = {c: _NEIGHBOR_CACHE[c] for c in flat if c in _NEIGHBOR_CACHE}
+        out.update(neigh_of)
+        if len(_NEIGHBOR_CACHE) > _NEIGHBOR_CACHE_MAX:  # bound driver memory
             _NEIGHBOR_CACHE.clear()
         _NEIGHBOR_CACHE.update(neigh_of)
+        return out
     return {c: _NEIGHBOR_CACHE[c] for c in flat}
 
 

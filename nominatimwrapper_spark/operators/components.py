@@ -1,0 +1,123 @@
+# -*- coding: utf-8 -*-
+"""Distributed connected components (alternating large-star / small-star).
+
+The dup-cluster resolution the near-dup dedup suite needs: MinHash-LSH's
+verified pair set is an EDGE LIST whose transitive closure defines the
+duplicate clusters, and "keep the lowest-id doc per cluster" requires the
+component minimum — a single-hop "drop if any lower-id near-identical
+neighbor" rule over-keeps on chain-shaped clusters (A–D, C–D with
+A<C<D: C's only path to the component minimum A runs through D, a
+HIGHER id, so single-hop keeps both A and C).
+
+Algorithm: the alternating star rounds of Kiveris et al., "Connected
+Components in MapReduce and Beyond" (SOCC'14) — publicly documented and
+widely reimplemented (GraphFrames' default CC is this family). Each round
+is two shuffles on the node key:
+
+- large-star: every node u connects its LARGER neighbors to its current
+  minimum m(u) = min(N(u) ∪ {u});
+- small-star: every node u connects its SMALLER-or-equal neighbors (and
+  itself) to that minimum.
+
+Both preserve connectivity; the composition strictly reduces a potential
+function, converging in O(log n) rounds to a star forest where every edge
+is (node, component-minimum). No driver-side state beyond the loop
+counter and a convergence count; per-round localCheckpoint truncates
+lineage exactly like the geocode cascade does (SURVEY §7 hard-part 3).
+
+100 TB notes: each round is two map-side-combinable groupBy(min) passes +
+an equi-join back on the node key — the same shuffle key throughout, so
+AQE coalesces consistently; edges stay (long, long) pairs; the distinct()
+after each star bounds the edge set by O(E). No all-pairs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """(u,v) edges -> for each node, connect strictly-larger neighbors to
+    min(N(u) ∪ {u})."""
+    sym = e.select("u", "v").unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("_m"))
+    return (
+        sym.join(mins, on="u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges toward the larger endpoint, then connect each node's
+    smaller-or-equal neighborhood (plus itself) to its minimum."""
+    o = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = o.groupBy("u").agg(F.min("v").alias("_m"))
+    relink = (
+        o.join(mins, on="u")
+        .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+    )
+    selfl = mins.select("u", F.col("_m").alias("v"))
+    return (
+        relink.unionAll(selfl)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 40,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``, where
+    ``component`` is the minimum node id of its connected component.
+
+    Exact convergence check per round (count + one-way exceptAll on the
+    distinct edge sets — no hash-fingerprint false positives); raises if
+    ``max_iter`` rounds don't converge (alternating stars converge in
+    O(log n), so 40 covers any realizable input)."""
+    raw = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    ).filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+    # node set from the RAW list: a self-loop-only node is an isolated
+    # node (its own component), not absent from the output
+    nodes = (
+        raw.select(F.col("u").alias("node"))
+        .unionAll(raw.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        raw.filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if e.isEmpty():
+        return nodes.withColumn("component", F.col("node"))
+
+    prev_n = e.count()
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        n2 = e2.count()
+        if n2 == prev_n and e2.exceptAll(e).isEmpty():
+            e = e2
+            break
+        e, prev_n = e2, n2
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+    # fixpoint is a star forest: every surviving edge is (node, root).
+    # Roots (and any isolated-after-self-loop-removal nodes) map to
+    # themselves via the left join fallback.
+    comp = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return nodes.join(comp, on="node", how="left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )

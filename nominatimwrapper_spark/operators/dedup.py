@@ -137,25 +137,29 @@ def minhash_signatures_agg(
         F.col(id_col).alias("_id"),
         F.explode_outer(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
     )
+    # NULL text -> NULL shingle row from explode_outer. xxhash64(NULL)
+    # returns the SEED (42), not NULL, so hashing unconditionally would
+    # silently give null-text docs the signature of the constant 42;
+    # gate the hash on _sh so min() sees NULL and the doc's signature is
+    # NULL — value-identical to the fold form (aggregate over a NULL
+    # shingle array is NULL).
     hashed = exploded.select(
-        "_id", F.xxhash64(F.col("_sh")).bitwiseAND(F.lit(0x7FFFFFFF)).alias("_h")
+        "_id",
+        F.when(F.col("_sh").isNull(), F.lit(None).cast("long"))
+        .otherwise(F.xxhash64(F.col("_sh")).bitwiseAND(F.lit(0x7FFFFFFF)))
+        .alias("_h"),
     )
     aggs = [
         F.min(
             F.pmod(F.lit(a_list[i]) * F.col("_h") + F.lit(b_list[i]), F.lit(_MERSENNE_31))
         ).alias(f"_m{i}")
         for i in range(num_hashes)
-    ]
+    ] + [F.count("_h").alias("_nh")]
     sig = hashed.groupBy("_id").agg(*aggs)
-    # empty docs: explode_outer keeps them with a null shingle; min()
-    # ignores nulls -> coalesce to the fold's init value
     return sig.select(
         "_id",
-        F.array(
-            *[
-                F.coalesce(F.col(f"_m{i}"), F.lit(_MERSENNE_31).cast("long"))
-                for i in range(num_hashes)
-            ]
+        F.when(F.col("_nh") == 0, F.lit(None)).otherwise(
+            F.array(*[F.col(f"_m{i}") for i in range(num_hashes)])
         ).alias("_sig"),
     )
 
@@ -262,21 +266,20 @@ def minhash_lsh_candidates(
     return pairs
 
 
-def minhash_dedup(
+def minhash_verified_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     jaccard_threshold: float = 0.8,
     **lsh_kw,
 ) -> DataFrame:
-    """Full near-dup dedup: LSH candidates -> exact Jaccard verify within
-    buckets -> connected keep-lowest-id rule (single-hop: a doc is dropped
-    if any lower-id doc is near-identical)."""
+    """LSH candidates -> exact Jaccard verify within buckets. Returns the
+    verified near-dup EDGE LIST (id_a, id_b, jaccard), id_a < id_b."""
     cand = minhash_lsh_candidates(docs, id_col, text_col, **lsh_kw)
     sh = docs.select(
         F.col(id_col).alias("_vid"), word_shingles(F.col(text_col)).alias("_vsh")
     )
-    verified = (
+    return (
         cand.join(sh.withColumnRenamed("_vid", "id_a").withColumnRenamed("_vsh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("_vid", "id_b").withColumnRenamed("_vsh", "sh_b"), "id_b")
         .withColumn(
@@ -285,8 +288,32 @@ def minhash_dedup(
             / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1)),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
     )
-    drop = verified.select(F.col("id_b").alias(id_col)).distinct()
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.8,
+    **lsh_kw,
+) -> DataFrame:
+    """Full near-dup dedup: LSH candidates -> exact Jaccard verify within
+    buckets -> CONNECTED-COMPONENT keep-lowest-id rule. The verified pair
+    set is a graph whose transitive closure defines the dup clusters;
+    exactly the component-minimum doc survives each cluster (a single-hop
+    "drop if any lower-id near-identical neighbor" rule over-keeps on
+    chain-shaped clusters — see operators/components.py docstring)."""
+    from .components import connected_components
+
+    verified = minhash_verified_pairs(
+        docs, id_col, text_col, jaccard_threshold, **lsh_kw
+    )
+    comp = connected_components(verified, src="id_a", dst="id_b")
+    drop = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
     return docs.join(drop, on=id_col, how="left_anti")
 
 

@@ -284,54 +284,60 @@ def knn_cells(
     remaining = q
     acc: DataFrame | None = None  # scored candidates of still-unfinished queries
     done_parts: list[DataFrame] = []
-    for r in range(max_rings + 1):
-        offs = [
-            (dy, dx)
-            for dy in range(-r, r + 1)
-            for dx in range(-r, r + 1)
-            if max(abs(dy), abs(dx)) == r  # shell only
-        ]
-        offs_arr = F.array(*[F.lit(dy * w_cells + dx) for dy, dx in offs])
-        exploded = (
-            remaining.withColumn("_off", F.explode(offs_arr))
-            .withColumn("_cell", F.col("_off") + F.col("_qcell"))
-            .drop("_off")
-        )
-        shell = _knn_target_join(exploded, t, no_bc)
-        acc = shell if acc is None else acc.unionByName(shell)
-        # materialize: the shell join + every prior ring would otherwise be
-        # re-evaluated by the window, the finish filter AND the next ring
-        acc = acc.localCheckpoint(eager=True)
+    try:
+        for r in range(max_rings + 1):
+            offs = [
+                (dy, dx)
+                for dy in range(-r, r + 1)
+                for dx in range(-r, r + 1)
+                if max(abs(dy), abs(dx)) == r  # shell only
+            ]
+            offs_arr = F.array(*[F.lit(dy * w_cells + dx) for dy, dx in offs])
+            exploded = (
+                remaining.withColumn("_off", F.explode(offs_arr))
+                .withColumn("_cell", F.col("_off") + F.col("_qcell"))
+                .drop("_off")
+            )
+            shell = _knn_target_join(exploded, t, no_bc)
+            acc = shell if acc is None else acc.unionByName(shell)
+            # materialize: the shell join + every prior ring would otherwise be
+            # re-evaluated by the window, the finish filter AND the next ring
+            acc = acc.localCheckpoint(eager=True)
 
-        wnd = Window.partitionBy(query_id).orderBy(F.col("dist_km").asc(), F.col("_tid").asc())
-        topk = acc.withColumn("knn_rank", F.row_number().over(wnd)).filter(
-            F.col("knn_rank") <= k
-        )
-        # guaranteed reach of the searched block: r full cells beyond the
-        # query's own cell. Longitude cells are narrower in km by cos(lat),
-        # so the safe bound uses the lon-direction width (with margin).
-        kth = topk.groupBy(query_id).agg(
-            F.max("dist_km").alias("_kth"),
-            F.count("*").alias("_n"),
-            F.min(F.cos(F.radians(F.col("lat")))).alias("_coslat"),
-        )
-        reach_km = F.lit(r * cell_h_km) * F.col("_coslat") * F.lit(0.99)
-        finished_keys = kth.filter((F.col("_n") >= k) & (F.col("_kth") <= reach_km)).select(
-            query_id
-        )
-        if r == max_rings:  # last ring: everything found is final
-            finished_keys = kth.select(query_id)
-        finished = topk.join(finished_keys, on=query_id, how="inner")
-        done_parts.append(
-            finished.drop("_qcell").withColumnRenamed("_tid", "neighbor_id")
-            .localCheckpoint(eager=True)
-        )
-        remaining = remaining.join(finished_keys, on=query_id, how="left_anti").localCheckpoint(
-            eager=True
-        )
-        if remaining.isEmpty():
-            break
-        acc = acc.join(finished_keys, on=query_id, how="left_anti")
+            wnd = Window.partitionBy(query_id).orderBy(F.col("dist_km").asc(), F.col("_tid").asc())
+            topk = acc.withColumn("knn_rank", F.row_number().over(wnd)).filter(
+                F.col("knn_rank") <= k
+            )
+            # guaranteed reach of the searched block: r full cells beyond the
+            # query's own cell. Longitude cells are narrower in km by cos(lat),
+            # so the safe bound uses the lon-direction width (with margin).
+            kth = topk.groupBy(query_id).agg(
+                F.max("dist_km").alias("_kth"),
+                F.count("*").alias("_n"),
+                F.min(F.cos(F.radians(F.col("lat")))).alias("_coslat"),
+            )
+            reach_km = F.lit(r * cell_h_km) * F.col("_coslat") * F.lit(0.99)
+            finished_keys = kth.filter((F.col("_n") >= k) & (F.col("_kth") <= reach_km)).select(
+                query_id
+            )
+            if r == max_rings:  # last ring: everything found is final
+                finished_keys = kth.select(query_id)
+            finished = topk.join(finished_keys, on=query_id, how="inner")
+            done_parts.append(
+                finished.drop("_qcell").withColumnRenamed("_tid", "neighbor_id")
+                .localCheckpoint(eager=True)
+            )
+            remaining = remaining.join(finished_keys, on=query_id, how="left_anti").localCheckpoint(
+                eager=True
+            )
+            if remaining.isEmpty():
+                break
+            acc = acc.join(finished_keys, on=query_id, how="left_anti")
+    finally:
+        # done_parts are localCheckpoint()ed, so the cached target
+        # projection is no longer needed — drop it eagerly or repeated
+        # kNN calls accrete executor storage for the app lifetime.
+        t.unpersist(blocking=True)
 
     out = done_parts[0]
     for p in done_parts[1:]:
@@ -583,97 +589,102 @@ def knn_h3(
     done_parts: list[DataFrame] = []
     empty_shell = spark.createDataFrame([], "_qcell long, _cell long")
     empty_bounds = spark.createDataFrame([], "_qcell long, _local double, _exh boolean")
-    for r in range(max_rings + 1):
-        active = [c for c in shells if shells[c]]
-        rows = [(int(c), int(s)) for c in active for s in shells[c]]
-        exhausted = not rows and r > 0  # every active query searched the sphere
-        ring_map = (
-            spark.createDataFrame(pd.DataFrame(rows, columns=["_qcell", "_cell"]))
-            if rows
-            else empty_shell
-        )
-        # ONE-RING LOOKAHEAD for the finish bound: ring r+1's shells are
-        # computed now, so the bound can use each query cell's EXACT
-        # minimum center distance to its next ring (local grid spacing —
-        # typically ~1.7x the pentagon-depressed global minimum), with
-        # the global suffix table covering rings >= r+2 only.
-        next_shells = _bfs_step(shells)
-        local_rows = []
-        if r < max_rings:
-            want = set()
-            for c in active:
-                want |= next_shells.get(c, set())
-            _centers_of(want)
-            for c in active:
-                nxt = next_shells.get(c, set())
-                if nxt:
-                    lm = min(_hav_np(qcenter[c], center_cache[s]) for s in nxt)
-                    local_rows.append((int(c), lm * 0.999, False))  # float margin
-                else:
-                    # BFS exhausted for this cell: disk r covers every
-                    # reachable cell, so NOTHING is unsearched — the
-                    # query is final with whatever it found
-                    local_rows.append((int(c), 0.0, True))
-        local_bounds = (
-            spark.createDataFrame(
-                pd.DataFrame(local_rows, columns=["_qcell", "_local", "_exh"])
+    try:
+        for r in range(max_rings + 1):
+            active = [c for c in shells if shells[c]]
+            rows = [(int(c), int(s)) for c in active for s in shells[c]]
+            exhausted = not rows and r > 0  # every active query searched the sphere
+            ring_map = (
+                spark.createDataFrame(pd.DataFrame(rows, columns=["_qcell", "_cell"]))
+                if rows
+                else empty_shell
             )
-            if local_rows
-            else empty_bounds
-        )
+            # ONE-RING LOOKAHEAD for the finish bound: ring r+1's shells are
+            # computed now, so the bound can use each query cell's EXACT
+            # minimum center distance to its next ring (local grid spacing —
+            # typically ~1.7x the pentagon-depressed global minimum), with
+            # the global suffix table covering rings >= r+2 only.
+            next_shells = _bfs_step(shells)
+            local_rows = []
+            if r < max_rings:
+                want = set()
+                for c in active:
+                    want |= next_shells.get(c, set())
+                _centers_of(want)
+                for c in active:
+                    nxt = next_shells.get(c, set())
+                    if nxt:
+                        lm = min(_hav_np(qcenter[c], center_cache[s]) for s in nxt)
+                        local_rows.append((int(c), lm * 0.999, False))  # float margin
+                    else:
+                        # BFS exhausted for this cell: disk r covers every
+                        # reachable cell, so NOTHING is unsearched — the
+                        # query is final with whatever it found
+                        local_rows.append((int(c), 0.0, True))
+            local_bounds = (
+                spark.createDataFrame(
+                    pd.DataFrame(local_rows, columns=["_qcell", "_local", "_exh"])
+                )
+                if local_rows
+                else empty_bounds
+            )
 
-        shell_df = remaining.join(F.broadcast(ring_map), on="_qcell", how="inner")
-        shell_df = _knn_target_join(shell_df, t, no_bc)
-        acc = shell_df if acc is None else acc.unionByName(shell_df)
-        acc = acc.localCheckpoint(eager=True)
+            shell_df = remaining.join(F.broadcast(ring_map), on="_qcell", how="inner")
+            shell_df = _knn_target_join(shell_df, t, no_bc)
+            acc = shell_df if acc is None else acc.unionByName(shell_df)
+            acc = acc.localCheckpoint(eager=True)
 
-        wnd = Window.partitionBy(query_id).orderBy(
-            F.col("dist_km").asc(), F.col("_tid").asc()
-        )
-        topk = acc.withColumn("knn_rank", F.row_number().over(wnd)).filter(
-            F.col("knn_rank") <= k
-        )
-        kth = topk.groupBy(query_id).agg(
-            F.max("dist_km").alias("_kth"),
-            F.count("*").alias("_n"),
-            F.max("_qoff").alias("_qo"),
-            F.max("_qcell").alias("_qc"),
-        )
-        # any unsearched target sits either in ring r+1 (exact local
-        # minimum center distance, computed above) or at grid distance
-        # >= r+2 (global suffix table); both net the target's max center
-        # offset and the query point's ACTUAL center offset
-        glob_next = float(suffix_d[r + 1]) if r + 1 < len(suffix_d) else float(suffix_d[-1])
-        kth = kth.join(
-            F.broadcast(local_bounds), kth._qc == local_bounds._qcell, "left"
-        )
-        bound_center = F.least(
-            F.coalesce(F.col("_local"), F.lit(float("inf"))), F.lit(glob_next)
-        )
-        finish_km = bound_center - F.lit(float(r_max)) - F.col("_qo")
-        finished_keys = kth.filter(
-            F.coalesce(F.col("_exh"), F.lit(False))
-            | ((F.col("_n") >= k) & (F.col("_kth") <= finish_km))
-        ).select(query_id)
-        if r == max_rings or exhausted:
-            finished_keys = kth.select(query_id)
-        finished = topk.join(finished_keys, on=query_id, how="inner")
-        done_parts.append(
-            finished.drop("_qcell", "_qoff")
-            .withColumnRenamed("_tid", "neighbor_id")
-            .localCheckpoint(eager=True)
-        )
-        remaining = remaining.join(
-            finished_keys, on=query_id, how="left_anti"
-        ).localCheckpoint(eager=True)
-        if exhausted or remaining.isEmpty():
-            break
-        acc = acc.join(finished_keys, on=query_id, how="left_anti")
-        # prune the BFS to cells some unfinished query still needs — one
-        # small collect on the (checkpointed, capped) query side saves
-        # the driver-side neighbor expansion for finished regions
-        live = {row[0] for row in remaining.select("_qcell").distinct().collect()}
-        shells = {c: s for c, s in next_shells.items() if c in live}
+            wnd = Window.partitionBy(query_id).orderBy(
+                F.col("dist_km").asc(), F.col("_tid").asc()
+            )
+            topk = acc.withColumn("knn_rank", F.row_number().over(wnd)).filter(
+                F.col("knn_rank") <= k
+            )
+            kth = topk.groupBy(query_id).agg(
+                F.max("dist_km").alias("_kth"),
+                F.count("*").alias("_n"),
+                F.max("_qoff").alias("_qo"),
+                F.max("_qcell").alias("_qc"),
+            )
+            # any unsearched target sits either in ring r+1 (exact local
+            # minimum center distance, computed above) or at grid distance
+            # >= r+2 (global suffix table); both net the target's max center
+            # offset and the query point's ACTUAL center offset
+            glob_next = float(suffix_d[r + 1]) if r + 1 < len(suffix_d) else float(suffix_d[-1])
+            kth = kth.join(
+                F.broadcast(local_bounds), kth._qc == local_bounds._qcell, "left"
+            )
+            bound_center = F.least(
+                F.coalesce(F.col("_local"), F.lit(float("inf"))), F.lit(glob_next)
+            )
+            finish_km = bound_center - F.lit(float(r_max)) - F.col("_qo")
+            finished_keys = kth.filter(
+                F.coalesce(F.col("_exh"), F.lit(False))
+                | ((F.col("_n") >= k) & (F.col("_kth") <= finish_km))
+            ).select(query_id)
+            if r == max_rings or exhausted:
+                finished_keys = kth.select(query_id)
+            finished = topk.join(finished_keys, on=query_id, how="inner")
+            done_parts.append(
+                finished.drop("_qcell", "_qoff")
+                .withColumnRenamed("_tid", "neighbor_id")
+                .localCheckpoint(eager=True)
+            )
+            remaining = remaining.join(
+                finished_keys, on=query_id, how="left_anti"
+            ).localCheckpoint(eager=True)
+            if exhausted or remaining.isEmpty():
+                break
+            acc = acc.join(finished_keys, on=query_id, how="left_anti")
+            # prune the BFS to cells some unfinished query still needs — one
+            # small collect on the (checkpointed, capped) query side saves
+            # the driver-side neighbor expansion for finished regions
+            live = {row[0] for row in remaining.select("_qcell").distinct().collect()}
+            shells = {c: s for c, s in next_shells.items() if c in live}
+    finally:
+        # done_parts are checkpointed; drop the cached target
+        # projection so repeated kNN calls do not accrete storage
+        t.unpersist(blocking=True)
 
     out = done_parts[0]
     for p_ in done_parts[1:]:

@@ -796,3 +796,58 @@ SELECT a._id AS id_a, c._id AS id_b, count(*) AS n_bands_shared
 FROM b a JOIN b c ON a.band = c.band AND a.bhash = c.bhash AND a._id < c._id
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# connected components (dup-cluster resolution)
+# ---------------------------------------------------------------------------
+
+
+def _component_edges(spark, sf_dir):
+    """Deterministic SQL-expressible edge list over documents: two chain
+    families (step -7 / step -13 over disjoint residue windows) whose
+    multi-hop components exercise exactly the closure the single-hop drop
+    rule gets wrong. Same relation inlined in SQL_COMPONENTS."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    f1 = d.filter((F.col("doc_id") % 100 < 30) & (F.col("doc_id") >= 7)).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") - 7).alias("dst")
+    )
+    f2 = d.filter((F.col("doc_id") % 100 >= 70) & (F.col("doc_id") >= 13)).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") - 13).alias("dst")
+    )
+    return f1.unionAll(f2)
+
+
+def q_dedup_components(spark, sf_dir):
+    """Distributed connected components (alternating large-star /
+    small-star, operators/components.py) on a deterministic edge list —
+    the dup-cluster closure minhash_dedup keys its keep-lowest-id rule
+    on. Output: every node with its component minimum."""
+    from ..operators.components import connected_components
+
+    return connected_components(_component_edges(spark, sf_dir)).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+# Oracle: transitive closure via recursive CTE; component = min reachable
+# node. Chain components here are <= ~10 nodes, so the closure is tiny.
+SQL_COMPONENTS = """
+WITH RECURSIVE
+e AS (
+  SELECT doc_id AS u, doc_id - 7 AS v FROM documents
+   WHERE doc_id % 100 < 30 AND doc_id >= 7
+  UNION ALL
+  SELECT doc_id AS u, doc_id - 13 AS v FROM documents
+   WHERE doc_id % 100 >= 70 AND doc_id >= 13
+),
+sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+reach(node, r) AS (
+  SELECT DISTINCT u AS node, u AS r FROM sym
+  UNION
+  SELECT s.v AS node, reach.r FROM reach JOIN sym s ON s.u = reach.node
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY node
+"""

@@ -281,18 +281,34 @@ def documents_scaled(spark: SparkSession, sf_dir: str, factor: int = 200) -> Dat
     the scaled dedup bench legs measure signature + banded-join
     throughput, not a degenerate all-pairs explosion."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    n = d.count()
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).first()
+    n = int(stats["n"])
+    if not (int(stats["lo"] or 0) == 0 and int(stats["hi"] or -1) == n - 1):
+        # the (_idx + _r) % n partner-ring needs DENSE 0..N-1 ids — a
+        # gappy id space would silently drop replicas at the inner join
+        # (and skew the reported docs/s denominator). Derive a dense
+        # index once; the global window only runs on gappy inputs and
+        # this is bench-corpus synthesis, not a production operator.
+        from pyspark.sql import Window
+
+        d = d.withColumn(
+            "_idx", F.row_number().over(Window.orderBy("doc_id")) - 1
+        )
+    else:
+        d = d.withColumn("_idx", F.col("doc_id"))
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     reps = (
         d.repartition(n_part, "doc_id")
         .withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
-        .withColumn("_partner", (F.col("doc_id") + F.col("_r")) % F.lit(n))
+        .withColumn("_partner", (F.col("_idx") + F.col("_r")) % F.lit(n))
     )
-    partner = d.select(F.col("doc_id").alias("_pid"), F.col("text").alias("_ptext"))
+    partner = d.select(F.col("_idx").alias("_pid"), F.col("text").alias("_ptext"))
     return (
         reps.join(F.broadcast(partner), F.col("_partner") == F.col("_pid"))
         .select(
-            (F.col("doc_id") * factor + F.col("_r")).alias("doc_id"),
+            (F.col("_idx") * factor + F.col("_r")).alias("doc_id"),
             F.when(F.col("_r") == 0, F.col("text"))
             .otherwise(
                 F.concat(

@@ -786,3 +786,24 @@ def test_hierarchy_overhang_property():
     neigh = H.grid_neighbors(own)
     for o, p in bad:
         assert int(p) in neigh[int(o)], (hex(int(o)), hex(int(p)))
+
+
+def test_grid_neighbors_eviction_path(monkeypatch):
+    """When the neighbor memo exceeds its bound mid-batch, results for
+    already-cached cells must still be returned (regression: the batch
+    answer was read from the cache AFTER clear(), raising KeyError for
+    every previously-cached cell in the request — exactly the BFS
+    frontier re-visit pattern)."""
+    lat, lng = _uniform_sphere(600)
+    cells = np.unique(H.latlng_to_cell(lat, lng, 4))
+    a, b = cells[:200], cells[100:300]  # overlapping batches
+    monkeypatch.setattr(H, "_NEIGHBOR_CACHE", {})
+    monkeypatch.setattr(H, "_NEIGHBOR_CACHE_MAX", 50)  # force eviction
+    ref = H.grid_neighbors(np.concatenate([a, b]))  # one batch, post-evict
+    monkeypatch.setattr(H, "_NEIGHBOR_CACHE", {})
+    first = H.grid_neighbors(a)
+    second = H.grid_neighbors(b)  # cache over bound -> eviction fires here
+    for c in a:
+        assert first[int(c)] == ref[int(c)]
+    for c in b:
+        assert second[int(c)] == ref[int(c)]

@@ -592,8 +592,8 @@ def test_minhash_agg_signatures_equal_fold_signatures(spark):
 
     d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").limit(400)
     extra = spark.createDataFrame(
-        pd.DataFrame({"doc_id": [90001, 90002, 90003],
-                      "text": ["", "one two", "one two three four"]})
+        pd.DataFrame({"doc_id": [90001, 90002, 90003, 90004],
+                      "text": ["", "one two", "one two three four", None]})
     )
     d = d.select("doc_id", "text").unionByName(extra)
     fold = d.select(
@@ -604,5 +604,41 @@ def test_minhash_agg_signatures_equal_fold_signatures(spark):
     fold = fold.sort_values("_id").reset_index(drop=True)
     agg = agg.sort_values("_id").reset_index(drop=True)
     assert (fold["_id"] == agg["_id"]).all()
-    for a, b in zip(fold["_sig"], agg["_sig"]):
-        assert list(a) == list(b)
+    for i, a, b in zip(fold["_id"], fold["_sig"], agg["_sig"]):
+        if i == 90004:  # NULL text -> NULL signature on BOTH paths
+            assert a is None and b is None
+            continue
+        assert list(a) == list(b), i
+
+
+def test_documents_scaled_handles_gappy_ids(spark, tmp_path):
+    """documents_scaled's partner-ring remix must not assume dense
+    0..N-1 doc ids (regression: (doc_id + r) % n joined inner against
+    actual ids silently dropped replicas on gappy corpora, skewing the
+    benched docs/s denominator)."""
+    from nominatimwrapper_spark.plans.flagship import documents_scaled
+
+    gappy = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [3, 17, 40, 41, 900],  # gaps + non-zero start
+            "text": [f"alpha beta gamma delta doc {i}" for i in range(5)],
+        })
+    )
+    d = str(tmp_path / "gap")
+    gappy.write.parquet(f"{d}/documents.parquet")
+    out = documents_scaled(spark, d, factor=7)
+    assert out.count() == 5 * 7
+    assert out.select("doc_id").distinct().count() == 5 * 7
+    assert out.filter(F.col("text").isNull()).count() == 0
+
+    # dense corpus: unchanged fast path, same row-count law
+    dense = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": list(range(6)),
+            "text": [f"one two three four five doc {i}" for i in range(6)],
+        })
+    )
+    d2 = str(tmp_path / "dense")
+    dense.write.parquet(f"{d2}/documents.parquet")
+    out2 = documents_scaled(spark, d2, factor=4)
+    assert out2.count() == 6 * 4

@@ -456,3 +456,43 @@ def test_rollup_boundary_export_pipeline(spark):
         # executor-side boundary equals the driver-side kernel
         want = cell_to_boundary(np.array([r.tile], dtype=np.uint64))[0]
         assert np.allclose(np.array([list(v) for v in r.boundary]), want, atol=1e-12)
+
+
+def test_knn_unpersists_target_cache(spark, world, monkeypatch):
+    """knn_cells / knn_h3 cache the narrow target projection for the ring
+    loop; after the call returns that cache must be RELEASED (regression:
+    each call leaked one cached projection into executor storage for the
+    app lifetime — long-lived sessions making many kNN calls accrete
+    storage until the storage fraction is exhausted).
+
+    Deterministic check: intercept DataFrame.cache() during the calls and
+    assert every frame cached inside kNN reports a non-persisted storage
+    level on return (GC-based persistentRdds counting is unreliable here —
+    localCheckpoint RDDs of the still-referenced RESULT legitimately
+    linger until the ContextCleaner runs)."""
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    from nominatimwrapper_spark.operators.spatial import knn_cells, knn_h3
+
+    cached = []
+    orig_cache = CDF.cache
+
+    def record_cache(self):
+        cached.append(self)
+        return orig_cache(self)
+
+    monkeypatch.setattr(CDF, "cache", record_cache)
+
+    gaz = spark.read.parquet(f"{world['_dir']}/gazetteer.parquet")
+    targets = gaz.filter(F.col("place_rank") == 30).select("place_id", "lat", "lon")
+    qpdf = world["gazetteer"][world["gazetteer"].place_rank == 26].head(8)[
+        ["place_id", "lat", "lon"]
+    ].rename(columns={"place_id": "query_id"})
+    queries = spark.createDataFrame(qpdf)
+
+    knn_cells(queries, targets, k=2).count()
+    knn_h3(queries, targets, k=2).count()
+    assert len(cached) >= 2  # one target projection per operator
+    for df in cached:
+        lvl = df.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk), lvl
