@@ -56,6 +56,12 @@ from ..functions.similarity import (
 from ..functions.textnorm import city_key, street_fingerprint_key
 
 # reference config.py:102-112
+# unique-address scoring parallelism: one task per this many distinct
+# addresses (see _process). ~1k rows x <=50 candidates keeps a scoring task
+# in the 0.5-1s range — fine-grained enough to spread real corpora over
+# every core, coarse enough that micro-batch-sized inputs stay narrow.
+_UQ_ROWS_PER_TASK = 1024
+
 DEFAULT_TRANSFORMERS_SEQUENCE: list[list[str]] = [
     ["orig"],
     ["regex[init]"],
@@ -559,16 +565,22 @@ def _process(
     # reuse doesn't apply (the pandas-UDF key projections sit between the
     # branches and the shared shuffle)
     uq = uq.localCheckpoint(eager=True)
-    # AQE sizes the dedup output by BYTES, so a small unique set coalesces
-    # to ~1 partition — which serializes the similarity-scoring pandas UDFs
-    # (CPU-heavy per row, not byte-heavy) onto one core for the rest of the
-    # stage. Spread it across the cluster. Only widen (a big unique set
-    # already has >= parallelism partitions from AQE — never collapse it),
-    # and the shuffle being repartitioned is the tiny unique frame, not the
-    # input.
+    # Width by ROW COUNT, not bytes (AQE's metric) and not blanket
+    # defaultParallelism: scoring cost is CPU-per-row, so a big unique set
+    # must spread across the cluster — but a small one (micro-batches, the
+    # steady-state cascade tail) fanned to 32 partitions pays ~6 candidate
+    # branches x pandas-UDF key projections x tasks in pure Python-worker
+    # round-trips, which measured 2-4x slower than a narrow plan at ~700
+    # uniques. One partition per _UQ_ROWS_PER_TASK rows, capped at cluster
+    # parallelism: large inputs behave exactly as before, small ones run
+    # narrow. The count is a cheap scan of the just-materialized rows.
     par = addr.sparkSession.sparkContext.defaultParallelism
-    if uq.rdd.getNumPartitions() < par:
-        uq = uq.repartition(par)
+    width = max(1, min(par, -(-uq.count() // _UQ_ROWS_PER_TASK)))
+    have = uq.rdd.getNumPartitions()
+    if have < width:
+        uq = uq.repartition(width)
+    elif have > width:
+        uq = uq.coalesce(width)
     # per-address key multiplicities stay OUT of the scoring pipeline (they
     # would otherwise ride the fan-back join into the output schema)
     uq_counts = uq.select("transformed_address", "_n_keys")

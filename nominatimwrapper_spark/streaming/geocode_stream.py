@@ -35,6 +35,12 @@ from pyspark.sql.types import (
 
 from ..operators.geocode import GazetteerIndex
 
+# micro-batches at or under this many rows run their cascade with a narrow
+# shuffle width — the per-epoch cost at live-tailing batch sizes is task
+# setup, not data (see _one_batch)
+_SMALL_BATCH_ROWS = 100_000
+_SMALL_BATCH_SHUFFLE = 4
+
 PAGES_SCHEMA = StructType(
     [
         StructField("url", StringType()),
@@ -93,18 +99,46 @@ def geocode_pages_stream(
         .parquet(input_dir)
     )
     if dedup_recrawls:
-        from .stateful import first_seen_stream
-
-        # catch-up (availableNow) runs dedup across the whole backfill with
-        # NoTimeout — a processing-time TTL would keep the drained query
-        # alive firing empty expiry micro-batches; continuous runs keep the
-        # default 24h TTL for bounded state
-        stream = first_seen_stream(
-            stream, key="url",
-            state_ttl_ms=None if available_now else 24 * 3600 * 1000,
-        )
+        # First-arrival-wins url dedup with NATIVE streaming state: the
+        # engine keeps only the key columns in the state store and drops
+        # repeats JVM-side — measured several times cheaper per micro-batch
+        # than the applyInPandasWithState operator (one Python call per
+        # distinct url per epoch). first_seen_stream (streaming/stateful.py)
+        # remains the custom-stateful-operator surface for callers needing
+        # processing-time TTL or richer per-key state.
+        if available_now:
+            # catch-up: whole-backfill dedup, state lives for the run
+            stream = stream.dropDuplicates(["url"])
+        else:
+            # continuous: bound state by EVENT time — re-arrivals more than
+            # 24h of watermark progress apart are treated as new, the
+            # native analog of the stateful operator's 24h TTL
+            stream = stream.withWatermark(
+                "warc_ts", "24 hours"
+            ).dropDuplicatesWithinWatermark(["url"])
 
     def _one_batch(pages: DataFrame, epoch_id: int) -> None:
+        sess = pages.sparkSession
+        # Pin the micro-batch ONCE: the cascade's control-flow actions would
+        # otherwise re-trigger the source scan + dedup state op per action.
+        # The row count is then a cheap scan and prices the batch for the
+        # shuffle clamp below — a 5k-page epoch shuffling across the full
+        # session width pays pure task-setup overhead in every window/join
+        # stage, so small batches run with a handful of shuffle partitions
+        # (AQE cannot do this: parallelismFirst keeps tiny shuffles wide).
+        pages = pages.localCheckpoint(eager=True)
+        n_rows = pages.count()
+        prev = sess.conf.get("spark.sql.shuffle.partitions")
+        clamp = n_rows <= _SMALL_BATCH_ROWS and int(prev) > _SMALL_BATCH_SHUFFLE
+        if clamp:
+            sess.conf.set("spark.sql.shuffle.partitions", str(_SMALL_BATCH_SHUFFLE))
+        try:
+            _write_batch(pages, epoch_id)
+        finally:
+            if clamp:
+                sess.conf.set("spark.sql.shuffle.partitions", prev)
+
+    def _write_batch(pages: DataFrame, epoch_id: int) -> None:
         out = geocode_micro_batch(pages, index).withColumn(
             "epoch", F.lit(epoch_id).cast("long")
         )

@@ -4,10 +4,13 @@ first-seen dedup over a keyed stream via ``applyInPandasWithState``.
 
 Training-pipeline use: a crawl stream re-delivers urls across micro-batches
 (recrawls, retries, mirror copies). Exact dedup needs per-key state that
-OUTLIVES a micro-batch — `dropDuplicates` on a stream buffers unbounded
-state with no emission control, while this operator keeps one boolean per
-key, emits only the first arrival, and expires state with a processing-time
-timeout so the 100 TB key space doesn't accumulate forever.
+OUTLIVES a micro-batch. Spark's native streaming ``dropDuplicates`` covers
+the plain case (key-only state, JVM-side — geocode_stream composes it for
+exactly that reason) but offers no processing-time expiry and no hook for
+richer per-key state; this operator keeps one boolean per key, emits only
+the first arrival, and expires state with a processing-time timeout so a
+100 TB key space doesn't accumulate forever — the template for any custom
+stateful op (session windows, per-key counters, change detection).
 
 The same call works per-group on a batch frame through ``first_seen_batch``
 (window + row_number), which is how the test cross-checks stream == batch.
