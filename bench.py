@@ -82,6 +82,14 @@ def main() -> None:
 
     qs["geocode_flagship_kernel"] = _flagship_kernel
 
+    # hot-city skew regime (SURVEY §7 hard-part 5): 30% of all pages carry
+    # ONE address. Uniform leg is the baseline; a straggler-free run means
+    # the dedup-to-unique + broadcast-join cascade absorbed the skew (no
+    # key ever shuffles with its page payload).
+    qs["geocode_flagship_skew30"] = lambda sp, d: _flagship(
+        sp, d, replicate=rep, skew_hot=0.3
+    )
+
     # scaled dedup/ANN legs (round-4): the sf corpus is small enough that
     # the per-query numbers were noise-dominated; remix-replicate to
     # ~factor x so signatures + banded joins dominate the wall time
@@ -185,6 +193,7 @@ def main() -> None:
         "geocode_flagship_big",  # same, 4x pages: the data-bound regime
         "geocode_flagship_nobc",  # same pages, forced shuffle-join cascade
         "geocode_flagship_kernel",  # same pages, one-stage mapInPandas kernel
+        "geocode_flagship_skew30",  # 30% of pages on ONE hot address
         "top1_per_group",
         "broadcast_join_agg",
         "asof_latest",
@@ -217,6 +226,46 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         if name == "geocode_flagship_nobc":  # leg-scoped conf, restore
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+    # ANN recall@10 at the scaled corpus (round-5): measured quality of the
+    # approximate paths vs brute force on the SAME 400k vectors the timed
+    # legs use — reported metrics (with their index configs), not gates
+    def _ann_recall() -> dict:
+        from pyspark.sql import functions as SF
+
+        from nominatimwrapper_spark.operators.simsearch import (
+            cosine_topk_bruteforce,
+            cosine_topk_ivf,
+            cosine_topk_lsh,
+        )
+
+        e = _emb_scaled(spark, sf_dir)
+        probes = e.filter(SF.col("vec_id") < 8).selectExpr(
+            "vec_id as probe_id", "embedding"
+        )
+
+        def topsets(df):
+            pdf = df.select("probe_id", "vec_id").toPandas()
+            return {p: set(g["vec_id"]) for p, g in pdf.groupby("probe_id")}
+
+        brute = topsets(cosine_topk_bruteforce(e, probes, k=10))
+        lsh = topsets(cosine_topk_lsh(e, probes, k=10, bands=16, bits=64))
+        ivf = topsets(cosine_topk_ivf(e, probes, k=10, n_centroids=128, nprobe=8))
+
+        def recall(approx):
+            return round(
+                sum(len(brute[p] & approx.get(p, set())) for p in brute)
+                / (10.0 * len(brute)),
+                3,
+            )
+
+        return {
+            "lsh_bands16_bits64": recall(lsh),
+            "ivf_c128_nprobe8": recall(ivf),
+            "k": 10, "n_probes": len(brute),
+        }
+
+    ann_recall = _ann_recall()
 
     # lifecycle legs (round-4): the S7 checkpoint/resume job over 8 crawl-
     # date partitions (cold run + resume run with 4 precompleted) and the
@@ -314,6 +363,9 @@ def main() -> None:
                 "flagship_kernel_pages_per_sec": round(
                     n_docs * rep / timings["geocode_flagship_kernel"], 1
                 ),
+                "flagship_skew30_pages_per_sec": round(
+                    n_docs * rep / timings["geocode_flagship_skew30"], 1
+                ),
                 "flagship_big_pages": n_docs * rep_big,
                 "flagship_big_pages_per_sec": round(
                     n_docs * rep_big / timings["geocode_flagship_big"], 1
@@ -325,6 +377,7 @@ def main() -> None:
                 "simhash_docs_per_sec": round(
                     n_docs * dedup_factor / timings["simhash_1m"], 1
                 ),
+                "ann_recall_at10": ann_recall,
                 "streaming_pages": n_pages_life,
                 "streaming_pages_per_sec": round(
                     n_pages_life / timings["streaming_flagship_8batches"], 1

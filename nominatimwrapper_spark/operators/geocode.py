@@ -80,14 +80,21 @@ NOMINATIM_CANDIDATE_LIMIT = 50  # reference base.py:97
 ADDR_COLS = ["addr_key", "street", "housenbr", "postcode", "city", "country"]
 
 
+def _map_unique(s: pd.Series, fn) -> pd.Series:
+    """fn over the batch's DISTINCT values only — street/city names repeat
+    heavily (hot cities, shared gazetteer variants), so per-batch dedup
+    cuts the normalize+fingerprint Python work by the repetition factor."""
+    return s.map({v: fn(v) for v in s.unique()})
+
+
 @pandas_udf(StringType())
 def street_key_udf(s: pd.Series) -> pd.Series:
-    return s.map(street_fingerprint_key)
+    return _map_unique(s, street_fingerprint_key)
 
 
 @pandas_udf(StringType())
 def city_key_udf(s: pd.Series) -> pd.Series:
-    return s.map(city_key)
+    return _map_unique(s, city_key)
 
 
 # ---------------------------------------------------------------------------

@@ -77,14 +77,16 @@ def gazetteer_index(
 
 
 def pages_from_documents(
-    spark: SparkSession, sf_dir: str, replicate: int = 1, **kw
+    spark: SparkSession, sf_dir: str, replicate: int = 1, skew_hot: float = 0.0, **kw
 ) -> DataFrame:
     """Build a pages(url, warc_ts, html, text, lang) table from the driver's
     documents table, injecting one deterministic gazetteer address per doc.
     Everything distributed: the join side is the broadcast house list.
     ``replicate`` fans each document into N distinct pages (distributed
     explode — used by the bench to measure throughput where data, not
-    per-stage overhead, dominates)."""
+    per-stage overhead, dominates). ``skew_hot`` routes that fraction of
+    documents to ONE house (the hot-city crawl regime, SURVEY §7 hard-part
+    5) — deterministic via doc_id buckets."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # the documents file is a single small parquet -> ONE input partition;
     # spread it across the session's shuffle-partition count BEFORE the
@@ -108,7 +110,12 @@ def pages_from_documents(
     )
     n_houses = houses.count()
 
-    docs = docs.withColumn("_hidx", (F.col("doc_id") % n_houses).cast("int"))
+    hidx = (F.col("doc_id") % n_houses).cast("int")
+    if skew_hot > 0.0:
+        hidx = F.when(
+            F.pmod(F.col("doc_id"), F.lit(1000)) < int(skew_hot * 1000), F.lit(0)
+        ).otherwise(hidx)
+    docs = docs.withColumn("_hidx", hidx)
     j = docs.join(F.broadcast(houses), on="_hidx", how="inner")
 
     body = F.concat(
@@ -182,13 +189,17 @@ def flagship(
     check_results: bool = True,
     replicate: int = 1,
     force_no_broadcast: bool = False,
+    skew_hot: float = 0.0,
 ) -> DataFrame:
     """documents -> pages -> extract -> geocode -> S2 cells. Returns the
     geocoded point table (one row per injected address).
 
     ``force_no_broadcast`` runs the shuffle-join cascade (the regime a
-    gazetteer above the 800 MB broadcast gate hits at planet scale)."""
-    pages = pages_from_documents(spark, sf_dir, replicate=replicate)
+    gazetteer above the 800 MB broadcast gate hits at planet scale);
+    ``skew_hot`` concentrates that fraction of pages on one address (the
+    hot-city regime — the bench compares its wall against the uniform
+    leg)."""
+    pages = pages_from_documents(spark, sf_dir, replicate=replicate, skew_hot=skew_hot)
     # dedup_crawls=False: doc://<id> urls are unique BY CONSTRUCTION, and the
     # as-of window would shuffle every page WITH its html payload — a pure
     # I/O tax on a no-op. Real crawl inputs (recrawls present) pay it; the

@@ -807,3 +807,75 @@ def test_grid_neighbors_eviction_path(monkeypatch):
         assert first[int(c)] == ref[int(c)]
     for c in b:
         assert second[int(c)] == ref[int(c)]
+
+
+# ---------------------------------------------------------------------------
+# southern hemisphere: derivational pins + structural invariants
+# ---------------------------------------------------------------------------
+
+
+def test_southern_hemisphere_self_fixture_pins():
+    """Full bit patterns for four southern-hemisphere city cells at res
+    4/9/15, across four icosahedral charts (base cells 95/84/86/93).
+
+    PROVENANCE: no southern literal could be transcribed from public docs
+    with confidence (see test_published_vectors note), so these are
+    SELF-fixtures — produced by this implementation (round 5), sanity-bound
+    by the global checksums, seam continuity, and tables==fresh-derivation
+    gates that validate the same charts. They guard future regressions of
+    the orientation tables in the southern charts; they are NOT independent
+    external evidence."""
+    pins = [
+        # (lat, lng, res, cell)
+        (-33.85719805, 151.21512338, 4, 0x84BE0E3FFFFFFFF),   # Sydney
+        (-33.85719805, 151.21512338, 9, 0x89BE0E35C0BFFFF),
+        (-33.85719805, 151.21512338, 15, 0x8FBE0E35C09592C),
+        (-23.55052, -46.633309, 4, 0x84A8101FFFFFFFF),        # São Paulo
+        (-23.55052, -46.633309, 9, 0x89A8100C02FFFFF),
+        (-23.55052, -46.633309, 15, 0x8FA8100C028984C),
+        (-33.9249, 18.4241, 9, 0x89AD361519BFFFF),            # Cape Town
+        (-36.8485, 174.7633, 9, 0x89BB5000507FFFF),           # Auckland
+    ]
+    for lat, lng, res, want in pins:
+        got = int(H.latlng_to_cell(np.array([lat]), np.array([lng]), res)[0])
+        assert got == want, f"({lat},{lng}) r{res}: {got:x} != {want:x}"
+
+
+def test_southern_hemisphere_structural_invariants():
+    """Dense southern sample (2k points, lat in [-85, -5]): the same
+    structural laws the northern pins witness must hold chart-free —
+    (a) center round-trip: cell -> center -> cell is the identity;
+    (b) parent consistency: indexing at res r-1 equals the bit-truncated
+        parent of the res-r cell for >=99% of points (the remainder must
+        be a neighbor, the documented aperture-7 overhang);
+    (c) boundary sanity: every boundary vertex lies within 2x the
+        cell circumradius implied by its area."""
+    n = 2000
+    lat = RNG.uniform(-85, -5, n)
+    lng = RNG.uniform(-180, 180, n)
+    for res in (2, 6, 9):
+        c = H.latlng_to_cell(lat, lng, res)
+        cla, clo = H.cell_to_latlng(c.astype(np.uint64))
+        rt = H.latlng_to_cell(cla, clo, res)
+        assert (rt == c).all(), f"res {res}: center round-trip broke"
+
+        cp = H.latlng_to_cell(lat, lng, res - 1)
+        par = H._truncate_to_res(c, res - 1)
+        mism = par != cp
+        assert mism.mean() < 0.10, f"res {res}: overhang fraction {mism.mean()}"
+        if mism.any():
+            own = np.unique(cp[mism])
+            neigh = H.grid_neighbors(own)
+            for o, p in zip(cp[mism], par[mism]):
+                assert int(p) in neigh[int(o)], (hex(int(o)), hex(int(p)))
+
+    cells9 = np.unique(H.latlng_to_cell(lat[:400], lng[:400], 9)).astype(np.uint64)
+    areas = H.cell_area_km2(cells9)
+    bounds = H.cell_to_boundary(cells9)
+    cla, clo = H.cell_to_latlng(cells9)
+    from nominatimwrapper_spark.functions.geo import haversine_km
+
+    for a, b, la0, lo0 in zip(areas, bounds, cla, clo):
+        r_max = 2.0 * np.sqrt(2 * a / (3 * np.sqrt(3)))  # 2x hex circumradius
+        d = max(haversine_km(la0, lo0, vla, vlo) for vla, vlo in b)
+        assert d < r_max, (la0, lo0, d, r_max)
