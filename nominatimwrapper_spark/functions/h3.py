@@ -1348,21 +1348,34 @@ def grid_disk(cells, k: int = 1) -> list[set[int]]:
 
 
 # --- kNN ring-expansion reach calibration (scripts/gen_h3_reach.py) -------
-# Per res: [R_max_km, D_min[1], ..., D_min[16]] measured over the grid's
-# distortion extremes — every pentagon disk-2 neighborhood and every
-# icosahedron face-edge seam, plus random controls. D_min[g] is the
-# minimum center-to-center distance at grid distance exactly g; R_max the
-# maximum point-to-cell-center offset (boundary circumradius and direct
-# point sampling, maxed). Replaces the round-3 sampled global-min-spacing
+# Per res: [R_max_km, D_min[1], ..., D_min[16]]. D_min[g] is the minimum
+# center-to-center distance at grid distance exactly g; R_max the maximum
+# point-to-cell-center offset (boundary circumradius and direct point
+# sampling, maxed). Replaces the round-3 sampled global-min-spacing
 # heuristic, whose r*s_min finish bound was unsound for hex grid distance
 # (zigzag centers: D_min[g] ~ (sqrt(3)/2)*g*s, below r*s for g=r).
+#
+# PROVENANCE (round 5, gen_h3_reach.py --exact):
+#  - res 0-2: EXHAUSTIVE — every cell of the res swept as origin, all 16
+#    rings; these rows are exact measurements, not samples.
+#  - res 3-5: every distortion extreme swept — ALL cells crossed by any
+#    of the 30 icosahedron edges (slerp-sampled at 1/5 cell spacing) +
+#    pentagon disk-3 + dense random controls; merged conservatively with
+#    the round-4 sampled rows (min per D entry, max for R_max).
+#  - res 6-15: round-4 sampling (pentagon disk-2 + 30 seam midpoints +
+#    controls). Scaling argument: every exhaustive/extreme sweep found
+#    every ring minimum g=1..4 attained INSIDE the pentagon region
+#    (logged per res), and aperture-7 subdivision is self-similar within
+#    a face — finer res reproduce the same extreme neighborhoods scaled
+#    by 1/sqrt(7) per level, so the sampled extremes are where the minima
+#    live there too; _REACH_D_MARGIN covers the residual.
 _EMB_REACH: dict[int, list[float]] = {
     0: [1382.85327, 1831.62879, 3479.24282, 5358.4559, 7053.65422, 8885.28301, 10716.9118, 13041.4625, 15366.0131, 17690.5638, 20015.1143, float('inf'), float('inf'), float('inf'), float('inf'), float('inf'), float('inf')],
     1: [529.810512, 638.728128, 1140.67039, 1779.31301, 2459.09407, 3161.85346, 3880.98668, 4655.06433, 5426.65299, 6211.29788, 6957.34524, 7619.49912, 8238.83429, 8914.10501, 9598.17023, 10354.1037, 11118.3514],
-    2: [200.422494, 225.36969, 423.137645, 638.728128, 860.169129, 1095.03109, 1327.22054, 1566.34761, 1812.41481, 2068.52718, 2317.38064, 2576.46564, 2836.49715, 3107.57209, 3379.29648, 3652.16268, 3930.70086],
-    3: [75.8465138, 86.3352698, 147.678335, 225.36969, 300.360892, 378.200031, 458.121974, 537.555618, 621.016001, 702.548755, 788.749813, 872.941102, 959.198208, 1047.08859, 1134.88932, 1222.82652, 1312.87063],
-    4: [28.6150353, 31.4793819, 58.4751814, 86.3352698, 116.482703, 145.016652, 174.292122, 204.749568, 233.794722, 263.882195, 294.372455, 324.322928, 355.114978, 385.773681, 416.537067, 447.512255, 478.785168],
-    5: [10.81657, 12.2348246, 20.7938118, 31.4793819, 41.6882005, 52.0734563, 62.6834446, 72.968987, 83.779817, 94.0332102, 104.791252, 115.229656, 125.916656, 136.544422, 147.19454, 157.971149, 168.606261],
+    2: [200.646101, 225.36969, 423.137645, 638.728128, 860.169129, 1095.03109, 1327.22054, 1566.34761, 1812.41481, 2058.92158, 2317.38064, 2576.46564, 2836.49715, 3107.57209, 3379.29648, 3652.16268, 3930.70086],
+    3: [75.8465138, 86.3352698, 147.678335, 225.36969, 300.360892, 378.200031, 458.121974, 537.555618, 621.016001, 702.548755, 788.749813, 872.941102, 959.198208, 1047.08859, 1134.88932, 1222.82652, 1312.37976],
+    4: [28.6730099, 31.4793819, 58.4751814, 86.3352698, 116.482703, 145.016652, 174.292122, 204.749568, 233.794722, 263.882195, 294.372455, 324.322928, 355.114978, 385.773681, 416.537067, 447.512255, 478.785168],
+    5: [10.8374065, 12.2348246, 20.7938118, 31.4793819, 41.6882005, 52.0734563, 62.6834446, 72.968987, 83.779817, 94.0332102, 104.791252, 115.229656, 125.916656, 136.544422, 147.19454, 157.971149, 168.606261],
     6: [4.05600355, 4.48258739, 8.31340497, 12.2348246, 16.4541033, 20.4524519, 24.5025102, 28.6921157, 32.711441, 36.8030981, 40.9880412, 45.0194134, 49.1366287, 53.2986946, 57.3660961, 61.5031417, 65.6511884],
     7: [1.54023813, 1.74582177, 2.96439751, 4.48258739, 5.93084265, 7.39979954, 8.89933625, 10.347691, 11.8698791, 13.3072591, 14.8126636, 16.2732577, 17.7621001, 19.2436649, 20.7208016, 22.2175377, 23.6860708],
     8: [0.584948446, 0.640074841, 1.18680956, 1.74582177, 2.34680202, 2.91640552, 3.49231345, 4.08757124, 4.65910959, 5.23947514, 5.83258053, 6.4047782, 6.98730699, 7.57742958, 8.15193806, 8.7358091, 9.32286709],

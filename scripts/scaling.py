@@ -23,9 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-    replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 100
-    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    use_kernel = "--kernel" in sys.argv
+    argv = [a for a in sys.argv if a != "--kernel"]
+    cpus = int(argv[1]) if len(argv) > 1 else 32
+    replicate = int(argv[2]) if len(argv) > 2 else 100
+    sf_dir = argv[3] if len(argv) > 3 else "/root/testdata/sf0.1"
 
     from nominatimwrapper_spark.session import get_spark
 
@@ -44,6 +46,21 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from nominatimwrapper_spark.plans.flagship import flagship
+
+    if use_kernel:
+        # --kernel: same pages, partition-local one-stage kernel
+        from nominatimwrapper_spark.operators.geocode_kernel import (
+            geocode_and_tile_kernel,
+        )
+        from nominatimwrapper_spark.plans.flagship import (
+            gazetteer_index,
+            pages_from_documents,
+        )
+
+        def flagship(sp, d, replicate):  # noqa: F811 — leg-local shadow
+            return geocode_and_tile_kernel(
+                pages_from_documents(sp, d, replicate=replicate), gazetteer_index(sp)
+            )
 
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     n_pages = n_docs * replicate
@@ -73,6 +90,7 @@ def main() -> None:
         json.dumps(
             {
                 "workload": (
+                    "flagship_kernel" if use_kernel else
                     "flagship_geocode_tile_lz4"
                     if spark.conf.get("spark.rdd.compress") == "true"
                     else "flagship_geocode_tile"
