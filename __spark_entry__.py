@@ -5,9 +5,11 @@
 tiling). ``queries()`` exposes one entry per implemented operator family
 from SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for
 every SQL-expressible one (hash-safe: integer/string output columns only).
-The only query registered without an oracle is the geocode cascade
-(rows-only driver check, value-pinned instead by
-test_flagship_output_pinned's sha256 of the complete sf0.001 output). PIP,
+The only queries registered without an oracle are the geocode lifecycle
+pair — the distributed cascade (value-pinned instead by
+test_flagship_output_pinned's sha256 of the complete sf0.001 output) and
+the partition-local kernel (value-identical to the cascade by
+tests/test_geocode_kernel.py). PIP,
 ring-kNN, hex parents, n-gram Jaccard, lang-ID, the S2/H3 tile rollups,
 SimHash and MinHash-LSH all run through the real operators with DuckDB
 oracles — the non-SQL hash kernels (S2/H3 cells, SimHash signatures,
@@ -67,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": dq.q_range_join,                  # interval join (BNLJ broadcast)
         # engine-native (rows-only)
         "geocode_flagship": fs.q_geocode_flagship,      # §3.4 lifecycle
+        "geocode_kernel": fs.q_geocode_kernel,          # same lifecycle, one-stage kernel
         "s2_rollup": fs.q_s2_rollup,                    # F19/F21 + A9
         "lang_quality": fs.q_lang_quality,              # lang-ID + quality
         "simhash_near_dups": fs.q_simhash_near_dups,    # dedup: SimHash

@@ -223,6 +223,17 @@ def q_geocode_flagship(spark, sf_dir):
     return flagship_cached(spark, sf_dir)
 
 
+def q_geocode_kernel(spark, sf_dir):
+    """The same lifecycle through the partition-local one-stage kernel
+    (operators/geocode_kernel.py) — rows-only driver check; value-identity
+    vs the distributed cascade is asserted per-fixture-class in
+    tests/test_geocode_kernel.py."""
+    from ..operators.geocode_kernel import geocode_and_tile_kernel
+
+    pages = pages_from_documents(spark, sf_dir)
+    return geocode_and_tile_kernel(pages, gazetteer_index(spark))
+
+
 def q_s2_rollup(spark, sf_dir):
     """F19 + A9: S2 level-13 cells of derived customer points, rolled up,
     plus the level-7 parent via pure bit math."""
