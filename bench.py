@@ -325,12 +325,13 @@ def main() -> None:
             src = _glob.glob(f"{stage}/part-*.parquet")[0]
             _shutil.move(src, os.path.join(stream_in, f"{b:03d}.parquet"))
         index = gazetteer_index(spark)
-        # micro-batches are fixed-overhead bound at bench page counts: 128
-        # shuffle partitions means 128 state-store tasks per epoch for the
-        # native url dedup. Run the stream at one task per core (leg-scoped;
-        # a fresh checkpoint dir each bench, so the state partitioning is
-        # free to differ from the batch legs)
-        spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
+        # micro-batches are fixed-overhead bound at bench page counts: the
+        # per-epoch cost is task setup across the state + kernel stages, so
+        # the stream's shuffle width should track per-epoch DATA (5k pages),
+        # not cores — 8 measured fastest (5.2k pages/s vs 3.3k at 32 on the
+        # direct kernel plan). Leg-scoped; a fresh checkpoint dir each
+        # bench, so the state partitioning is free to differ per run.
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         t0 = time.time()
         q = geocode_pages_stream(
             spark, stream_in, index,

@@ -692,7 +692,8 @@ def _tile_pdf(res: pd.DataFrame) -> pd.DataFrame:
 
 
 def geocode_and_tile_kernel(
-    pages: DataFrame, index: GazetteerIndex, check_results: bool = True
+    pages: DataFrame, index: GazetteerIndex, check_results: bool = True,
+    widen: bool = True,
 ) -> DataFrame:
     """pages -> extract -> cascade -> S2/H3 tiles, entirely inside ONE
     mapInPandas stage (plans/flagship.geocode_and_tile's output schema,
@@ -701,12 +702,18 @@ def geocode_and_tile_kernel(
 
     Scale shape: zero shuffles, zero driver actions; parallelism = input
     partitions (small inputs are widened to the cluster's core count —
-    the repartition moves at most one micro-batch of pages)."""
+    the repartition moves at most one micro-batch of pages).
+
+    ``widen=False`` skips the widening (it needs an RDD partition-count
+    peek, illegal on a STREAMING DataFrame) — streaming callers already
+    arrive shuffled to the session's shuffle width by the upstream dedup
+    state op, which is the right micro-batch granularity."""
     spark = pages.sparkSession
     bc = kernel_broadcast(spark, index)
-    par = spark.sparkContext.defaultParallelism
-    if pages.rdd.getNumPartitions() < par:
-        pages = pages.repartition(par)
+    if widen:
+        par = spark.sparkContext.defaultParallelism
+        if pages.rdd.getNumPartitions() < par:
+            pages = pages.repartition(par)
 
     def fn(it):
         pay = bc.value

@@ -1,18 +1,30 @@
 # -*- coding: utf-8 -*-
 """Streaming flagship: the geocode lifecycle over a pages STREAM.
 
-The cascade's driver loop (per-stage counts, working-set shrink, local
-checkpoints) is batch control flow that Structured Streaming cannot run
-inside a single logical plan — so the stream reuses it per micro-batch via
-``foreachBatch``, Spark's canonical pattern for lifting batch logic into a
-stream. What the stream layer adds on top of the batch engine:
+Two regimes, picked by the gazetteer broadcast gate:
+
+- **broadcast-able gazetteer** (the common case): the partition-local
+  kernel (operators/geocode_kernel.py) needs no batch control flow, so
+  the whole lifecycle runs as ONE continuous streaming plan — source ->
+  dedup state -> mapInPandas kernel -> file sink. No foreachBatch, no
+  per-epoch driver orchestration; exactly-once from the sink's
+  _spark_metadata commit log.
+- **above the broadcast gate**: the cascade's driver loop (per-stage
+  counts, working-set shrink, local checkpoints) is batch control flow
+  that Structured Streaming cannot run inside a single logical plan — the
+  stream reuses it per micro-batch via ``foreachBatch``, Spark's
+  canonical pattern for lifting batch logic into a stream.
+
+What the stream layer adds on top of the batch engine:
 
 - exactly-once sink semantics: the streaming checkpointLocation skips
   micro-batches already committed (the resume analog of the reference's
-  per-chunk loop, utils.py:1195-1279), and the sink itself is IDEMPOTENT
-  — output is partitioned by epoch and written with dynamic partition
-  overwrite, so a replayed micro-batch (crash between data write and
-  commit log) rewrites its own partition instead of appending twice;
+  per-chunk loop, utils.py:1195-1279). The direct plan gets sink
+  idempotence from the file-sink commit log; the foreachBatch sink is
+  made IDEMPOTENT by hand — output partitioned by epoch, written with
+  dynamic partition overwrite, so a replayed micro-batch (crash between
+  data write and commit log) rewrites its own partition instead of
+  appending twice;
 - ``availableNow`` trigger for catch-up runs (drain everything present,
   then stop — a crawl-backfill job shape).
 
@@ -127,13 +139,29 @@ def geocode_pages_stream(
                 "warc_ts", "24 hours"
             ).dropDuplicatesWithinWatermark(["url"])
 
+    if index.broadcast_ok:
+        # DIRECT streaming plan: a broadcast-able gazetteer needs no batch
+        # control flow at all — source -> dedup state -> one-stage kernel
+        # -> file sink is ONE continuous logical plan. No foreachBatch
+        # closure, no py4j round-trips, no per-epoch job orchestration;
+        # exactly-once comes from the file sink's own _spark_metadata
+        # commit log (readers going through spark.read see only committed
+        # files, so a crash between data write and commit is invisible).
+        # Measured: 8x 5k-page epochs 12.2s (foreachBatch kernel) -> 7.1s
+        # warm / 8.8s cold at local[32], shuffle width 8.
+        from ..operators.geocode_kernel import geocode_and_tile_kernel
+
+        tiled = geocode_and_tile_kernel(stream, index, widen=False)
+        writer = (
+            tiled.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
     def _one_batch(pages: DataFrame, epoch_id: int) -> None:
-        if index.broadcast_ok:
-            # kernel path: geocode_micro_batch is a single narrow stage with
-            # no driver actions, so the whole epoch is ONE job — pinning or
-            # clamping would only add work
-            _write_batch(pages, epoch_id)
-            return
         sess = pages.sparkSession
         # Pin the micro-batch ONCE: the cascade's control-flow actions would
         # otherwise re-trigger the source scan + dedup state op per action.
