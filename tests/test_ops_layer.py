@@ -98,10 +98,11 @@ def test_streaming_matches_batch(spark, tmp_path):
 
 
 def test_streaming_geocode_matches_batch_and_resumes(spark, tmp_path):
-    """Streaming flagship (foreachBatch cascade): stream output ==
-    batch output on the same pages, and a RESTARTED query with the same
-    checkpointLocation only processes files that arrived after the last
-    committed micro-batch (exactly-once resume, no re-geocoding)."""
+    """Streaming flagship (direct kernel plan under the broadcast gate):
+    stream output == batch output on the same pages, and a RESTARTED
+    query with the same checkpointLocation only processes files that
+    arrived after the last committed micro-batch (exactly-once resume,
+    no re-geocoding)."""
     import glob
     import shutil
 
@@ -305,6 +306,70 @@ def test_streaming_flagship_with_recrawl_dedup(spark, tmp_path):
         got[key].sort_values("addr_key").reset_index(drop=True),
         exp[key].sort_values("addr_key").reset_index(drop=True),
     )
+
+
+def test_streaming_live_tail_watermarked_dedup(spark, tmp_path):
+    """Continuous (available_now=False) mode on the direct kernel plan:
+    dropDuplicatesWithinWatermark state + mapInPandas kernel + file sink
+    in one running query. A file dropped WHILE the query runs — carrying
+    both new urls and a recrawl of wave 1 — is picked up, the recrawls
+    are dropped by cross-micro-batch state, and stopping the query leaves
+    a committed, readable output with exactly one row per address."""
+    import glob
+    import shutil
+    import time
+
+    from nominatimwrapper_spark.plans.flagship import (
+        gazetteer_index,
+        pages_from_documents,
+    )
+    from nominatimwrapper_spark.streaming.geocode_stream import (
+        geocode_pages_stream,
+    )
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001").localCheckpoint(
+        eager=True
+    )
+    n_addrs = pages.count()  # one injected address per page at sf0.001
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def _drop_file(df, name):
+        d = str(tmp_path / f"_stage_{name}")
+        df.coalesce(1).write.parquet(d)
+        src = glob.glob(f"{d}/part-*.parquet")[0]
+        shutil.move(src, str(in_dir / f"{name}.parquet"))
+        shutil.rmtree(d)
+
+    wave1 = pages.filter(F.crc32(F.col("url")) % 2 == 0)
+    _drop_file(wave1, "000")
+    out_dir = str(tmp_path / "out")
+    q = geocode_pages_stream(
+        spark, str(in_dir), gazetteer_index(spark), out_dir,
+        str(tmp_path / "ck"), available_now=False,
+    )
+    try:
+        # live arrival: the other half + a recrawl of wave 1, 1h later
+        recrawl = wave1.withColumn(
+            "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 HOUR")
+        )
+        _drop_file(
+            pages.filter(F.crc32(F.col("url")) % 2 == 1).unionByName(recrawl),
+            "001",
+        )
+        deadline = time.time() + 120
+        n = 0
+        while time.time() < deadline and n < n_addrs:
+            try:
+                n = spark.read.parquet(out_dir).count()
+            except Exception:
+                n = 0
+            time.sleep(1)
+    finally:
+        q.stop()
+    out = spark.read.parquet(out_dir).toPandas()
+    assert len(out) == n_addrs
+    assert out["addr_key"].is_unique
 
 
 def test_stateful_first_seen_dedup(spark, tmp_path):
