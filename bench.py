@@ -127,6 +127,15 @@ def main() -> None:
             "doc_id", sh(SF.col("text")).alias("simhash")
         )
 
+    def _minhash_dedup_cc_scaled(sp, d):
+        # the FULL near-dup closure on the same 1M corpus: signatures ->
+        # banded LSH -> hashed-shingle exact verify -> alternating-star
+        # connected components -> keep-component-minimum anti-join
+        # (round-5 VERDICT item 1's "run it on the 1M-doc leg")
+        from nominatimwrapper_spark.operators.dedup import minhash_dedup
+
+        return minhash_dedup(_docs_scaled(sp, d), "doc_id", "text")
+
     def _emb_scaled(sp, d):
         key = f"emb::{d}"
         if key not in _scaled_cache:
@@ -172,6 +181,7 @@ def main() -> None:
         return cosine_topk_ivf(e, probes, k=10, n_centroids=128, nprobe=8)
 
     qs["minhash_lsh_1m"] = _minhash_scaled
+    qs["minhash_dedup_cc_1m"] = _minhash_dedup_cc_scaled
     qs["simhash_1m"] = _simhash_scaled
     qs["cosine_topk_400k"] = _cosine_scaled
     qs["ivf_topk_400k"] = _ivf_scaled
@@ -207,6 +217,7 @@ def main() -> None:
         "token_stats",
         "simhash_near_dups",
         "minhash_lsh_1m",    # scaled dedup regime (remixed corpus)
+        "minhash_dedup_cc_1m",  # full closure: verify + CC + anti-join
         "simhash_1m",
         "cosine_topk_400k",  # scaled ANN brute-force regime
         "ivf_topk_400k",     # scaled ANN index path (build + query)
@@ -218,7 +229,9 @@ def main() -> None:
         # steady-state timing: one untimed pass pays codegen compilation and
         # scan/setup (the flagship pair shares the replicate=1 warm-up above
         # — re-running 2M pages twice would double the bench for no signal)
-        if not name.startswith("geocode_flagship"):
+        if not name.startswith("geocode_flagship") and name != "minhash_dedup_cc_1m":
+            # (the CC-closure leg is multi-minute — a warm pass would double
+            # it for no signal; its upstream corpus is already materialized)
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         t0 = time.time()
         df = qs[name](spark, sf_dir)
@@ -374,6 +387,9 @@ def main() -> None:
                 "dedup_docs": n_docs * dedup_factor,
                 "minhash_docs_per_sec": round(
                     n_docs * dedup_factor / timings["minhash_lsh_1m"], 1
+                ),
+                "minhash_cc_docs_per_sec": round(
+                    n_docs * dedup_factor / timings["minhash_dedup_cc_1m"], 1
                 ),
                 "simhash_docs_per_sec": round(
                     n_docs * dedup_factor / timings["simhash_1m"], 1

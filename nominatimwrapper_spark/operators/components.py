@@ -84,9 +84,17 @@ def connected_components(
     distinct edge sets — no hash-fingerprint false positives); raises if
     ``max_iter`` rounds don't converge (alternating stars converge in
     O(log n), so 40 covers any realizable input)."""
-    raw = edges.select(
-        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
-    ).filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+    # pin the input edge list FIRST: nodes and e both consume it, and the
+    # upstream plan may be expensive (minhash_dedup feeds the whole
+    # LSH-verify pipeline in here — evaluating it twice doubled the
+    # 1M-doc dedup wall before this checkpoint)
+    raw = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .localCheckpoint(eager=True)
+    )
     # node set from the RAW list: a self-loop-only node is an isolated
     # node (its own component), not absent from the output
     nodes = (
