@@ -253,8 +253,20 @@ def main() -> None:
         )
 
         e = _emb_scaled(spark, sf_dir)
-        probes = e.filter(SF.col("vec_id") < 8).selectExpr(
-            "vec_id as probe_id", "embedding"
+        # 64 OUT-OF-CORPUS probes: the midpoint of two corpus vectors is
+        # near the manifold but matches no stored vector exactly, so
+        # recall is measured on genuine queries, not self-lookups
+        a = e.filter(SF.col("vec_id") < 64).selectExpr(
+            "vec_id as probe_id", "embedding as _ea"
+        )
+        b = e.filter((SF.col("vec_id") >= 64) & (SF.col("vec_id") < 128)).selectExpr(
+            "vec_id - 64 as probe_id", "embedding as _eb"
+        )
+        probes = a.join(b, "probe_id").select(
+            "probe_id",
+            SF.zip_with("_ea", "_eb", lambda x, y: (x + y) / SF.lit(2.0)).alias(
+                "embedding"
+            ),
         )
 
         def topsets(df):
