@@ -62,6 +62,16 @@ from ..functions.textnorm import city_key, street_fingerprint_key
 # every core, coarse enough that micro-batch-sized inputs stay narrow.
 _UQ_ROWS_PER_TASK = 1024
 
+# fan-back join strategy gate (guide §3.1): keep_u holds at most one row per
+# distinct composed address, so when the MEASURED unique count (already an
+# action byproduct in _process) is below this, broadcasting it removes the
+# full-input exchange+sort the planner otherwise schedules (keep_u is a
+# checkpoint scan with no size stats, so auto-broadcast never fires at plan
+# time and AQE's conversion lands only after the big side's shuffle is
+# already written — measured 79 MB written + re-read per 2M-page stage).
+# ~200k wide rows ≈ 150 MB broadcast; above that the shuffle join is right.
+_FAN_BROADCAST_MAX_UNIQUES = 200_000
+
 DEFAULT_TRANSFORMERS_SEQUENCE: list[list[str]] = [
     ["orig"],
     ["regex[init]"],
@@ -582,7 +592,8 @@ def _process(
     # parallelism: large inputs behave exactly as before, small ones run
     # narrow. The count is a cheap scan of the just-materialized rows.
     par = addr.sparkSession.sparkContext.defaultParallelism
-    width = max(1, min(par, -(-uq.count() // _UQ_ROWS_PER_TASK)))
+    n_uq = uq.count()
+    width = max(1, min(par, -(-n_uq // _UQ_ROWS_PER_TASK)))
     have = uq.rdd.getNumPartitions()
     if have < width:
         uq = uq.repartition(width)
@@ -626,7 +637,15 @@ def _process(
     carry = ["_orig"] if "_orig" in addr.columns else []
     fan = addr.select(ADDR_COLS + ["transformed_address"] + carry)
     drop_q = [c for c in ADDR_COLS[1:]]
-    keep = fan.join(keep_u.drop(*drop_q), on="transformed_address", how="inner")
+    # keep_u is ≤ one row per distinct address and already materialized —
+    # broadcast it under the measured-size gate so the (large) fan side is
+    # never exchanged for this join. Off in the no-broadcast regime to keep
+    # that plan shape pure shuffle (test_gazetteer_join_is_broadcast).
+    fan_small = index.broadcast_ok and n_uq <= _FAN_BROADCAST_MAX_UNIQUES
+    keep_u_fan = keep_u.drop(*drop_q)
+    if fan_small:
+        keep_u_fan = F.broadcast(keep_u_fan)
+    keep = fan.join(keep_u_fan, on="transformed_address", how="inner")
     if with_retry and "_retry_ta" in keep.columns:
         # retried rows report their CLEANSED composed address, like the
         # reference's retry results (utils.py:272-276)
@@ -645,6 +664,10 @@ def _process(
     #   through a unique-key anti-join (small side -> AQE broadcasts it)
     #   instead of a full-input shuffle on addr_key.
     matched_tas = keep_u.select(ukey).distinct()
+    if fan_small:
+        # one narrow string column, ≤ n_uq rows: broadcast the anti-join's
+        # small side at plan time instead of waiting for AQE
+        matched_tas = F.broadcast(matched_tas)
     n_keep = None
     if with_counts:  # the retry recursion ignores counts — skip the action
         row = uq_counts.join(matched_tas, on=ukey, how="inner").agg(
@@ -1030,13 +1053,25 @@ def _one_stage(
     (keep, reject, n_keep, unmatched-todo) — the last two computed at the
     unique-address level inside _process (no extra pass over the fan)."""
     method = "+".join(transformers)
-    transformed = apply_transformers(todo, transformers, index, check_results)
-    sent = transformed.withColumn(
-        "transformed_address",
-        compose_address_col(
-            F.col("street"), F.col("housenbr"), F.col("postcode"), F.col("city"), F.col("country")
-        ),
-    )
+    if transformers == ["orig"] and "_ta0" in todo.columns:
+        # the orig stage's composed address was precomputed INTO the input
+        # checkpoint (cascade below): both the dedup pass and the fan-back
+        # pass read it as stored bytes instead of re-running the regex
+        # composition over every input row (the single hottest JVM
+        # expression of the job — measured ~2x the whole scoring pipeline
+        # at 2M pages).
+        carry0 = ["_orig"] if "_orig" in todo.columns else []
+        sent = todo.select(
+            *ADDR_COLS, *carry0, F.col("_ta0").alias("transformed_address")
+        )
+    else:
+        transformed = apply_transformers(todo, transformers, index, check_results)
+        sent = transformed.withColumn(
+            "transformed_address",
+            compose_address_col(
+                F.col("street"), F.col("housenbr"), F.col("postcode"), F.col("city"), F.col("country")
+            ),
+        )
     if transformers != ["orig"]:
         # transformer stages run UDF joins (libpostal/photon) — materialize
         # once so the multiple consumers (dedup, fan-back, retry) don't
@@ -1118,7 +1153,18 @@ def cascade(
     # (a checkpoint scan) — re-checkpointing would rewrite every input row
     # once more for nothing.
     if not _is_materialized(addresses):
-        addresses = addresses.localCheckpoint(eager=True)
+        # bake the orig stage's composed address into the same checkpoint:
+        # it is needed by the dedup pass AND the fan-back pass, so computing
+        # it once at materialization time (instead of per consuming pass)
+        # halves the job's regex-composition cost for one extra stored
+        # string column (~50 B/row)
+        addresses = addresses.withColumn(
+            "_ta0",
+            compose_address_col(
+                F.col("street"), F.col("housenbr"), F.col("postcode"),
+                F.col("city"), F.col("country"),
+            ),
+        ).localCheckpoint(eager=True)
 
     if validate_unique:  # skippable when keys are unique by construction
         dup = addresses.groupBy("addr_key").count().filter("count > 1")
@@ -1131,9 +1177,10 @@ def cascade(
     # merge(to_process_addresses, how="left") (utils.py:1271) — which as a
     # full-input-vs-results shuffle join would be the largest shuffle of the
     # whole job at 100 TB — with a zero-shuffle projection.
-    orig_payload = [c for c in addresses.columns if c != "addr_key"]
+    orig_payload = [c for c in addresses.columns if c not in ("addr_key", "_ta0")]
+    ta0 = ["_ta0"] if "_ta0" in addresses.columns else []
     todo = addresses.select(
-        *ADDR_COLS, F.struct(*[F.col(c) for c in orig_payload]).alias("_orig")
+        *ADDR_COLS, F.struct(*[F.col(c) for c in orig_payload]).alias("_orig"), *ta0
     )
     n_todo = addresses.count()  # cheap: checkpointed
     results: DataFrame | None = None

@@ -9,6 +9,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from nominatimwrapper_spark.functions.cleansing import (
+    clean_addr_col,
+    clean_addr_in,
     collapse_fillna_col,
     collapse_set_col,
 )
@@ -51,6 +53,32 @@ def test_collapse_set_values(spark, refmod):
     # the reference joins a Python set (order unstable) -> compare value SETS
     for g, r in zip(got, ref):
         assert set(g.split(" - ")) - {""} == set(r.split(" - ")) - {""}
+
+
+def test_clean_addr_col_fixpoint(spark):
+    """The 3-regex closed form of the comma cleanup must equal the scalar
+    reference fixpoint loop on adversarial comma/space runs (the r6 rewrite
+    collapsed 12 regexp_replace + 5 trims into 3 + 1)."""
+    import random
+
+    rng = random.Random(1234)
+    pieces = [",", " ", "a", "b", ", ", " ,", ",,", "x y", ",,,", "  "]
+    cases = [
+        "", ",", " , ", ",,,,", "a", ",a,", "  ,  a  ,  ", "a, 12, 1000 B, ",
+        "street, , 1000 city,", ", , , ,",
+    ] + [
+        "".join(rng.choice(pieces) for _ in range(rng.randint(0, 14)))
+        for _ in range(500)
+    ]
+    pdf = pd.DataFrame({"s": cases})
+    got = (
+        spark.createDataFrame(pdf)
+        .select(clean_addr_col(F.col("s")).alias("o"))
+        .toPandas()["o"]
+        .tolist()
+    )
+    want = [clean_addr_in(s) for s in cases]
+    assert got == want
 
 
 def test_hex_spark_matches_scalar(spark):
