@@ -36,6 +36,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _unpersist_checkpoint(df: DataFrame) -> None:
+    """Release the storage blocks behind a localCheckpoint-ed frame.
+
+    localCheckpoint truncates lineage, so the blocks are NOT recomputable:
+    only call this once the frame can never be referenced again (a
+    superseded per-round edge set). Best-effort via the LogicalRDD's
+    internal RDD handle; a py4j surface change degrades to a no-op (the
+    blocks then just age out with the session, the pre-round-6 behavior).
+    """
+    try:  # pragma: no cover - exercised indirectly
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def _large_star(e: DataFrame) -> DataFrame:
     """(u,v) edges -> for each node, connect strictly-larger neighbors to
     min(N(u) ∪ {u})."""
@@ -83,7 +100,15 @@ def connected_components(
     Exact convergence check per round (count + one-way exceptAll on the
     distinct edge sets — no hash-fingerprint false positives); raises if
     ``max_iter`` rounds don't converge (alternating stars converge in
-    O(log n), so 40 covers any realizable input)."""
+    O(log n), so 40 covers any realizable input).
+
+    NB: EAGER — the input edge list (and thus its whole upstream plan,
+    e.g. the LSH-verify pipeline when called from minhash_dedup) executes
+    at call time via localCheckpoint, not at the first action on the
+    returned frame. Superseded per-round checkpoint blocks (and the raw
+    input pin) are unpersisted as the loop advances; only the node set
+    and the final star forest stay pinned, because the returned frame is
+    a lazy join over exactly those two."""
     # pin the input edge list FIRST: nodes and e both consume it, and the
     # upstream plan may be expensive (minhash_dedup feeds the whole
     # LSH-verify pipeline in here — evaluating it twice doubled the
@@ -108,6 +133,8 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # nodes and e are materialized — the raw pin has no further reader
+    _unpersist_checkpoint(raw)
     if e.isEmpty():
         return nodes.withColumn("component", F.col("node"))
 
@@ -115,10 +142,11 @@ def connected_components(
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
         n2 = e2.count()
-        if n2 == prev_n and e2.exceptAll(e).isEmpty():
-            e = e2
-            break
+        converged = n2 == prev_n and e2.exceptAll(e).isEmpty()
+        _unpersist_checkpoint(e)  # superseded: e2 is materialized
         e, prev_n = e2, n2
+        if converged:
+            break
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
 

@@ -27,17 +27,30 @@ from pyspark.sql import DataFrame, functions as F
 
 def word_shingles(text_col, n: int = 3):
     """Distinct word n-gram shingles as array<string> — pure Column ops:
-    split -> sliding window via transform(sequence(...)) -> distinct."""
-    toks = F.split(F.trim(text_col), "\\s+")
-    k = F.size(toks) - (n - 1)
-    return F.when(k <= 0, F.array(F.array_join(toks, " "))).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), k),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
+    split -> sliding window via transform(sequence(...)) -> distinct.
+
+    The token split is BOUND ONCE per row through a one-element transform
+    whose lambda variable carries the array: referencing the split
+    expression directly from the window lambda inlines it, and Catalyst
+    evaluates an inlined non-lambda subexpression PER LAMBDA ELEMENT — the
+    regex split re-ran once per shingle position (~100x per doc; measured
+    as ~90% of the 1M-doc signature stage, 27s -> 4s after binding)."""
+
+    def shingles(toks):
+        k = F.size(toks) - (n - 1)
+        return F.when(k <= 0, F.array(F.array_join(toks, " "))).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), k),
+                    lambda i: F.array_join(F.slice(toks, i, n), " "),
+                )
             )
         )
+
+    bound = F.transform(
+        F.array(F.split(F.trim(text_col), "\\s+")), lambda t: shingles(t)
     )
+    return F.element_at(bound, 1)
 
 
 def ngram_jaccard_pairs(
@@ -116,6 +129,61 @@ def minhash_signature(shingle_col, num_hashes: int = 32):
     )
 
 
+def hashed_shingles(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 3
+) -> DataFrame:
+    """(_id, _hsh): per-doc distinct word-shingles hashed ONCE with
+    xxhash64 — the shared upstream of both the MinHash signature pipeline
+    (which folds the LOW 31 bits through the affine family) and the
+    hashed-shingle exact verify (which intersects the full 64-bit values).
+    Computing this frame once per dedup run removes a complete second
+    shingling pass over the corpus text (split + slide + join + hash per
+    doc — measured as the bulk of the signature stage at 1M docs).
+
+    NULL shingles (null/whitespace-only text) hash to NULL here, NOT to
+    xxhash64's seed (42): the signature aggregate must see NULL so a
+    null-text doc's signature stays NULL. The verify side restores the
+    raw-xxhash64 value (42) via coalesce for exact value parity with
+    hashing the shingle strings directly."""
+    return docs.select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            word_shingles(F.col(text_col), shingle_n),
+            lambda s: F.when(s.isNull(), F.lit(None).cast("long")).otherwise(
+                F.xxhash64(s)
+            ),
+        ).alias("_hsh"),
+    )
+
+
+def _signatures_from_hashed(hs: DataFrame, num_hashes: int = 32) -> DataFrame:
+    """(_id, _sig) from a hashed-shingle frame via explode + hash
+    aggregate: the k min() columns stay inside whole-stage codegen with
+    MAP-SIDE partial aggregation — the shuffle carries one partial row
+    per (doc, partition), not the shingles."""
+    a_list, b_list = _affine_params(num_hashes)
+    # NULL elements propagate: NULL & mask is NULL, min() skips NULLs,
+    # count(_h) counts only non-NULL — a null-text doc yields _nh = 0 and
+    # a NULL signature, value-identical to hashing the strings directly.
+    hashed = hs.select(
+        "_id",
+        F.explode_outer("_hsh").alias("_e"),
+    ).select("_id", F.col("_e").bitwiseAND(F.lit(0x7FFFFFFF)).alias("_h"))
+    aggs = [
+        F.min(
+            F.pmod(F.lit(a_list[i]) * F.col("_h") + F.lit(b_list[i]), F.lit(_MERSENNE_31))
+        ).alias(f"_m{i}")
+        for i in range(num_hashes)
+    ] + [F.count("_h").alias("_nh")]
+    sig = hashed.groupBy("_id").agg(*aggs)
+    return sig.select(
+        "_id",
+        F.when(F.col("_nh") == 0, F.lit(None)).otherwise(
+            F.array(*[F.col(f"_m{i}") for i in range(num_hashes)])
+        ).alias("_sig"),
+    )
+
+
 def minhash_signatures_agg(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -129,38 +197,10 @@ def minhash_signatures_agg(
     the higher-order-function fold is interpreted per array element with
     a fresh accumulator array per step, while this form keeps the k
     min() columns inside whole-stage codegen with MAP-SIDE partial
-    aggregation — the shuffle carries one partial row per (doc,
-    partition), not the shingles. Measured 2x+ on the 1M-doc bench leg;
-    at 100 TB the partial agg is also the right shuffle shape."""
-    a_list, b_list = _affine_params(num_hashes)
-    exploded = docs.select(
-        F.col(id_col).alias("_id"),
-        F.explode_outer(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
-    )
-    # NULL text -> NULL shingle row from explode_outer. xxhash64(NULL)
-    # returns the SEED (42), not NULL, so hashing unconditionally would
-    # silently give null-text docs the signature of the constant 42;
-    # gate the hash on _sh so min() sees NULL and the doc's signature is
-    # NULL — value-identical to the fold form (aggregate over a NULL
-    # shingle array is NULL).
-    hashed = exploded.select(
-        "_id",
-        F.when(F.col("_sh").isNull(), F.lit(None).cast("long"))
-        .otherwise(F.xxhash64(F.col("_sh")).bitwiseAND(F.lit(0x7FFFFFFF)))
-        .alias("_h"),
-    )
-    aggs = [
-        F.min(
-            F.pmod(F.lit(a_list[i]) * F.col("_h") + F.lit(b_list[i]), F.lit(_MERSENNE_31))
-        ).alias(f"_m{i}")
-        for i in range(num_hashes)
-    ] + [F.count("_h").alias("_nh")]
-    sig = hashed.groupBy("_id").agg(*aggs)
-    return sig.select(
-        "_id",
-        F.when(F.col("_nh") == 0, F.lit(None)).otherwise(
-            F.array(*[F.col(f"_m{i}") for i in range(num_hashes)])
-        ).alias("_sig"),
+    aggregation. Measured 2x+ on the 1M-doc bench leg; at 100 TB the
+    partial agg is also the right shuffle shape."""
+    return _signatures_from_hashed(
+        hashed_shingles(docs, id_col, text_col, shingle_n), num_hashes
     )
 
 
@@ -209,8 +249,12 @@ def banded_signatures(
     LSH pipeline, exported so ops/tests can measure bucket-size drop
     volume (lsh_dropped_bucket_stats) on EXACTLY the frame the candidate
     join consumes."""
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures_agg(docs, id_col, text_col, num_hashes, shingle_n)
+    return _banded_from_sigs(sigs, num_hashes, bands)
+
+
+def _banded_from_sigs(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    rows_per_band = num_hashes // bands
     return sigs.select(
         "_id",
         F.explode(
@@ -253,8 +297,19 @@ def minhash_lsh_candidates(
     banded = banded_signatures(
         docs, id_col, text_col, num_hashes, bands, shingle_n
     )
-    banded = cap_lsh_buckets(banded, max_bucket_size)
+    return _pairs_from_banded(cap_lsh_buckets(banded, max_bucket_size))
 
+
+def _pairs_from_banded(banded: DataFrame) -> DataFrame:
+    """Capped banded rows -> candidate pairs. The banded frame feeds BOTH
+    sides of the self-join but the two sides differ by an alias, so the
+    planner cannot reuse one exchange between them — without pinning, the
+    whole signature pipeline (shingle + hash + 32-way agg + cap window)
+    executes TWICE (measured: 8 scans / 13 exchanges / 0 reuse in the
+    1M-doc verify plan). Eager-materializing the small (_id, band, bhash)
+    frame makes each side a checkpoint scan. NB this makes the builder
+    eager at plan-construction time, like connected_components."""
+    banded = banded.localCheckpoint(eager=True)
     l = banded.select(F.col("_id").alias("id_a"), "band", "bhash")
     r = banded.select(F.col("_id").alias("id_b"), "band", "bhash")
     pairs = (
@@ -282,22 +337,60 @@ def minhash_verified_pairs(
     probability (~1e-16 at 100-shingle docs) — and the candidate-pair
     join then moves 8-byte elements instead of whole n-gram strings and
     intersects ints instead of strings. Measured on the 30M-pair 1M-doc
-    bench corpus: 312 s -> 77 s for the verify stage."""
-    cand = minhash_lsh_candidates(docs, id_col, text_col, **lsh_kw)
-    sh = docs.select(
-        F.col(id_col).alias("_vid"),
-        F.transform(
-            word_shingles(F.col(text_col)), lambda s: F.xxhash64(s)
-        ).alias("_vsh"),
-    )
-    return (
-        cand.join(sh.withColumnRenamed("_vid", "id_a").withColumnRenamed("_vsh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("_vid", "id_b").withColumnRenamed("_vsh", "sh_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1)),
+    bench corpus: 312 s -> 77 s for the verify stage.
+
+    Round-6 shape: ONE hashed-shingle pass feeds both the signature
+    pipeline (low 31 bits) and the verify arrays — previously the corpus
+    was shingled twice. The two attach joins are BYTE-GATED broadcasts of
+    the per-doc array table (same gate pattern as the gazetteer index):
+    under the budget both attaches and the Jaccard compute fuse into ONE
+    stage of the pair stream with ZERO array shuffles — the profiled
+    alternative exchanges every pair row WITH its first attached array
+    (13 GB written + read at the 30M-pair bench corpus, 2,550 core-s —
+    5x the intersect work itself). Above the budget (a corpus whose
+    array table outgrows executor memory) the joins fall back to
+    SHUFFLE_HASH with the array side as build: no sort of the pair
+    stream, per-partition hash builds only. |A∪B| is computed as
+    |A|+|B|−|A∩B| (one hash-set pass instead of two; equal to
+    size(array_union) because each doc's hashes are distinct up to the
+    same 2^-64 collision caveat)."""
+    shingle_n = lsh_kw.pop("shingle_n", 3)
+    num_hashes = lsh_kw.pop("num_hashes", 32)
+    bands = lsh_kw.pop("bands", 8)
+    max_bucket_size = lsh_kw.pop("max_bucket_size", 500)
+    broadcast_max_bytes = lsh_kw.pop("broadcast_max_bytes", 800 * 1024 * 1024)
+    if lsh_kw:
+        raise TypeError(f"unknown lsh kwargs: {sorted(lsh_kw)}")
+    hs = hashed_shingles(docs, id_col, text_col, shingle_n).localCheckpoint(eager=True)
+    cand = _pairs_from_banded(
+        cap_lsh_buckets(
+            _banded_from_sigs(_signatures_from_hashed(hs, num_hashes), num_hashes, bands),
+            max_bucket_size,
         )
+    )
+    # measured-size broadcast gate: one cheap agg over the checkpointed
+    # array table (id long + n_shingles * 8B + array/row overhead)
+    stats = hs.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(F.size("_hsh")).alias("w")
+    ).first()
+    est_bytes = int((stats["n"] or 0) * (float(stats["w"] or 0) * 8 + 32))
+    use_broadcast = est_bytes <= broadcast_max_bytes
+    # restore the raw-xxhash64 value for NULL shingles (xxhash64(NULL) is
+    # the seed, 42) so the arrays are byte-identical to hashing the
+    # shingle strings directly
+    unmask = F.transform("_hsh", lambda h: F.coalesce(h, F.lit(42).cast("long")))
+    sh_a = hs.select(F.col("_id").alias("id_a"), unmask.alias("sh_a"))
+    sh_b = hs.select(F.col("_id").alias("id_b"), unmask.alias("sh_b"))
+    if use_broadcast:
+        sh_a, sh_b = F.broadcast(sh_a), F.broadcast(sh_b)
+    else:
+        sh_a, sh_b = sh_a.hint("shuffle_hash"), sh_b.hint("shuffle_hash")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", inter / F.greatest(union, F.lit(1)))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )

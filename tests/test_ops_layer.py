@@ -551,6 +551,43 @@ def test_minhash_finds_planted_near_dups(spark):
     assert len(dropped) >= 90  # near-identical copies overwhelmingly dropped
 
 
+def test_minhash_verified_broadcast_equals_shuffle_path(spark):
+    """The r6 verify rewrite byte-gates a broadcast of the hashed-shingle
+    table with a shuffle-hash fallback: both physical paths must produce
+    the identical verified edge set (and match the previous per-pair
+    array_union jaccard on planted near-dups)."""
+    from nominatimwrapper_spark.operators.dedup import minhash_verified_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(120)
+    dups = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+    )
+    all_docs = docs.select("doc_id", "text").unionByName(dups)
+    kw = dict(num_hashes=32, bands=8)
+    bc = (
+        minhash_verified_pairs(all_docs, jaccard_threshold=0.5, **kw)
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    sh = (
+        minhash_verified_pairs(
+            all_docs, jaccard_threshold=0.5, broadcast_max_bytes=0, **kw
+        )
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    assert len(bc) > 0
+    pd.testing.assert_frame_equal(bc, sh)
+    # jaccard parity with the two-pass array_union form on a spot pair
+    row = bc.iloc[0]
+    pair = all_docs.filter(F.col("doc_id").isin(int(row.id_a), int(row.id_b)))
+    j = ngram_jaccard_pairs(
+        pair.withColumn(
+            "doc_id", F.when(F.col("doc_id") >= 1_000_000, F.lit(int(row.id_a)) + 1).otherwise(F.lit(int(row.id_a)))
+        )
+    ).toPandas()
+    assert abs(row.jaccard - j.jaccard_1e4.iloc[0] / 10000.0) < 2e-4
+
+
 def test_minhash_driver_corpus_recall_and_zero_drops(spark):
     """Backs the rows-only ``minhash_lsh`` driver row with a value-level
     gate: on the ACTUAL sf0.01 driver corpus, (a) LSH candidate recall
