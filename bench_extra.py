@@ -127,6 +127,111 @@ def main() -> None:
             spark, "flagship: full", lambda: noop(flagship(spark, sf_dir, replicate=rep))
         )
 
+    elif which == "lifecycle":
+        # mirrors bench.py's checkpoint/streaming section so the job legs
+        # can be isolated + A/B'd (e.g. NWSPARK_JOB_CONCURRENCY)
+        import glob as _glob
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        from pyspark.sql import functions as SF
+
+        from nominatimwrapper_spark.jobs.geocode_job import run_job
+        from nominatimwrapper_spark.plans.flagship import (
+            flagship,
+            gazetteer_index,
+            pages_from_documents,
+            world_dir,
+        )
+        from nominatimwrapper_spark.sources.pages_io import write_pages_partitioned
+        from nominatimwrapper_spark.streaming.geocode_stream import geocode_pages_stream
+
+        flagship(spark, sf_dir, replicate=1).write.format("noop").mode("overwrite").save()
+        from nominatimwrapper_spark.operators.geocode_kernel import geocode_and_tile_kernel
+
+        geocode_and_tile_kernel(
+            pages_from_documents(spark, sf_dir, replicate=1), gazetteer_index(spark)
+        ).write.format("noop").mode("overwrite").save()
+
+        life_dir = _tempfile.mkdtemp(prefix="nwspark_bx_life_")
+        try:
+            rep_life = int(os.environ.get("SPARK_GRAFT_LIFECYCLE_REPLICATE", "8"))
+            pages = pages_from_documents(spark, sf_dir, replicate=rep_life)
+            pages8 = pages.withColumn(
+                "warc_ts",
+                SF.lit("2025-03-01 00:00:00").cast("timestamp")
+                + SF.make_interval(days=SF.crc32("url") % 8),
+            )
+            pages_dir = os.path.join(life_dir, "pages")
+            write_pages_partitioned(pages8, pages_dir)
+            gaz_path = f"{world_dir()}/gazetteer.parquet"
+            out_a = os.path.join(life_dir, "job_out")
+            dates = sorted(
+                d.split("=", 1)[1]
+                for d in os.listdir(pages_dir)
+                if d.startswith("crawl_date=")
+            )
+            out["checkpoint_job_4parts"] = timed(
+                spark, "lifecycle: job 4 parts",
+                lambda: run_job(spark, pages_dir, gaz_path, out_a, date_to=dates[3]),
+            )
+            out["checkpoint_resume_8parts"] = timed(
+                spark, "lifecycle: resume 8 parts",
+                lambda: run_job(spark, pages_dir, gaz_path, out_a),
+            )
+            stream_in = os.path.join(life_dir, "stream_in")
+            os.makedirs(stream_in)
+            stage = os.path.join(life_dir, "_stage")
+            for b in range(8):
+                part = pages8.filter(SF.crc32("url") % 8 == b)
+                part.coalesce(1).write.mode("overwrite").parquet(stage)
+                src = _glob.glob(f"{stage}/part-*.parquet")[0]
+                _shutil.move(src, os.path.join(stream_in, f"{b:03d}.parquet"))
+            index = gazetteer_index(spark)
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+            def run_stream():
+                q = geocode_pages_stream(
+                    spark, stream_in, index,
+                    os.path.join(life_dir, "stream_out"),
+                    os.path.join(life_dir, "stream_ck"),
+                )
+                q.awaitTermination()
+
+            out["streaming_flagship_8batches"] = timed(
+                spark, "lifecycle: streaming 8 batches", run_stream
+            )
+            spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
+        finally:
+            _shutil.rmtree(life_dir, ignore_errors=True)
+
+    elif which == "kernel":
+        from nominatimwrapper_spark.operators.geocode_kernel import geocode_and_tile_kernel
+        from nominatimwrapper_spark.plans.flagship import (
+            flagship,
+            gazetteer_index,
+            pages_from_documents,
+        )
+
+        rep = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_REPLICATE", "400"))
+        flagship(spark, sf_dir, replicate=1).write.format("noop").mode("overwrite").save()
+        geocode_and_tile_kernel(
+            pages_from_documents(spark, sf_dir, replicate=1), gazetteer_index(spark)
+        ).write.format("noop").mode("overwrite").save()
+        out["kernel_2m"] = timed(
+            spark, "kernel: 2M pages",
+            lambda: noop(
+                geocode_and_tile_kernel(
+                    pages_from_documents(spark, sf_dir, replicate=rep),
+                    gazetteer_index(spark),
+                )
+            ),
+        )
+        out["skew30_2m"] = timed(
+            spark, "skew30: 2M pages",
+            lambda: noop(flagship(spark, sf_dir, replicate=rep, skew_hot=0.3)),
+        )
+
     elif which == "small":
         import __spark_entry__ as em
 

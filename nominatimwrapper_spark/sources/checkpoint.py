@@ -55,22 +55,37 @@ class PartitionedCheckpointer:
         compute: Callable[[str], DataFrame],
         input_fingerprint: Callable[[str], str] | None = None,
         stats: Callable[[DataFrame], dict] | None = None,
+        max_concurrent: int = 1,
     ) -> dict:
         """Process every partition not yet completed (or whose input
         fingerprint changed). Returns {partition: manifest} including
-        skipped ones (manifest has ``resumed: True``)."""
+        skipped ones (manifest has ``resumed: True``).
+
+        ``max_concurrent`` > 1 submits that many independent partition
+        jobs from a driver thread pool (guide §2.6): Spark's scheduler
+        runs them side by side, so the next partition's tasks back-fill
+        executors idled by the current one's tail (driver-side planning,
+        manifest I/O, read-back counts). Partitions are independent by
+        construction — each writes its own ``part=<p>/`` dir and claims
+        it with its own atomic manifest rename, so concurrency does not
+        change resume semantics."""
         done = self.completed()
         out: dict[str, dict] = {}
+        todo: list[tuple[str, str]] = []
         for part in partitions:
             fp = input_fingerprint(part) if input_fingerprint else ""
             if part in done and done[part].get("input_fingerprint", "") == fp:
                 out[part] = {**done[part], "resumed": True}
-                continue
+            else:
+                todo.append((part, fp))
 
+        def _one(part: str, fp: str) -> dict:
             t0 = time.time()
             from pyspark.sql import functions as F
 
             df = compute(part).withColumn("checkpoint_part", F.lit(part))
+            sc = df.sparkSession.sparkContext
+            sc.setJobDescription(f"checkpoint partition {part}")  # thread-local
             pdir = self._part_dir(part)
             df.write.mode("overwrite").parquet(os.path.join(pdir, "data"))
             # row count AND the stats callback below both read the WRITTEN
@@ -94,7 +109,19 @@ class PartitionedCheckpointer:
             with open(tmp, "w") as f:
                 json.dump(manifest, f)
             os.replace(tmp, os.path.join(pdir, MANIFEST))  # atomic claim
-            out[part] = manifest
+            sc.setJobDescription(None)
+            return manifest
+
+        if max_concurrent <= 1 or len(todo) <= 1:
+            for part, fp in todo:
+                out[part] = _one(part, fp)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+                futs = [(part, pool.submit(_one, part, fp)) for part, fp in todo]
+                for part, fut in futs:
+                    out[part] = fut.result()
         return out
 
     def read_all(self, spark: SparkSession) -> DataFrame:
