@@ -110,7 +110,16 @@ def geocode_pages_stream(
 
     Restarting with the same ``checkpoint_dir`` resumes after the last
     committed micro-batch: already-geocoded files are not reprocessed,
-    and the dedup state itself is part of the streaming checkpoint."""
+    and the dedup state itself is part of the streaming checkpoint.
+
+    OUTPUT-SCHEMA NOTE (regime-dependent): the direct continuous plan
+    (broadcast-able gazetteer) writes exactly the kernel's TILE_SCHEMA via
+    the file sink's commit log — no ``epoch`` column and no epoch
+    partitioning. The foreachBatch regime (above the broadcast gate)
+    additionally writes an ``epoch`` partition column because its
+    hand-rolled idempotent sink overwrites per-epoch partitions. Readers
+    that must work across both regimes should select the TILE_SCHEMA
+    columns explicitly and treat ``epoch`` as optional metadata."""
     # micro-batch cost is dominated by the FIXED per-epoch overhead
     # (state-store tasks + cascade stage setup), so pages-per-batch is
     # the throughput lever: raise max_files_per_trigger on dense
