@@ -232,6 +232,88 @@ def main() -> None:
             lambda: noop(flagship(spark, sf_dir, replicate=rep, skew_hot=0.3)),
         )
 
+    elif which == "recall":
+        # ADVICE r5: bench.py's 64 midpoint probes all derive from replicas
+        # of base vector 0 (vec_id < 128 = base 0's replica block), so
+        # recall@10 = 1.0 was trivially guaranteed. Here: probes pair
+        # DISTINCT base vectors spread across the corpus + far-tail
+        # perturbed probes + random unit vectors, and recall is reported
+        # as a curve over nprobe / bands so the knobs have measured
+        # tradeoffs. Metrics-only; bench.py's frozen numbers unchanged.
+        import numpy as np
+        from pyspark.sql import functions as SF
+
+        from nominatimwrapper_spark.operators.simsearch import (
+            cosine_topk_bruteforce,
+            cosine_topk_ivf,
+            cosine_topk_lsh,
+            train_ivf_centroids,
+        )
+        from nominatimwrapper_spark.plans.flagship import embeddings_scaled
+
+        factor = int(os.environ.get("SPARK_GRAFT_DEDUP_FACTOR", "200"))
+        e = embeddings_scaled(spark, sf_dir, factor).localCheckpoint(eager=True)
+        n_vec = e.count()
+        print(f"corpus: {n_vec} vectors", flush=True)
+        base = e.filter(SF.col("vec_id") % factor == 0).limit(4000).toPandas()
+        dim = len(base["embedding"].iloc[0])
+        rng = np.random.default_rng(11)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in base["embedding"]])
+        n_p = 64
+        idx_a = rng.choice(len(mat), n_p, replace=False)
+        idx_b = rng.choice(len(mat), n_p, replace=False)
+        probes_np = []
+        # (a) midpoints of DISTINCT base vectors across the corpus
+        probes_np.append((mat[idx_a] + mat[idx_b]) / 2.0)
+        # (b) far-tail perturbations (sigma 10x the replica ripple)
+        probes_np.append(mat[idx_a] + rng.normal(0, 0.1, (n_p, dim)))
+        # (c) random unit vectors (adversarial: no corpus structure)
+        r = rng.standard_normal((n_p, dim))
+        probes_np.append(r / np.linalg.norm(r, axis=1, keepdims=True))
+        kinds = ["midpoint_distinct", "far_tail", "random_unit"]
+        import pandas as pd
+
+        probes_pdf = pd.DataFrame(
+            {
+                "probe_id": range(3 * n_p),
+                "kind": [k for k in kinds for _ in range(n_p)],
+                "embedding": [row.astype(np.float32).tolist() for block in probes_np for row in block],
+            }
+        )
+        probes = spark.createDataFrame(probes_pdf[["probe_id", "embedding"]])
+        kind_of = dict(zip(probes_pdf["probe_id"], probes_pdf["kind"]))
+
+        def topsets(df):
+            pdf = df.select("probe_id", "vec_id").toPandas()
+            return {p: set(g["vec_id"]) for p, g in pdf.groupby("probe_id")}
+
+        brute = topsets(cosine_topk_bruteforce(e, probes, k=10))
+        cents = train_ivf_centroids(e, 128)
+
+        def recall_by_kind(approx):
+            out_k = {}
+            for k in kinds:
+                ps = [p for p in brute if kind_of[p] == k]
+                out_k[k] = round(
+                    sum(len(brute[p] & approx.get(p, set())) for p in ps)
+                    / (10.0 * len(ps)), 3,
+                )
+            return out_k
+
+        curve = {}
+        for bands in (8, 16, 32):
+            lsh = topsets(cosine_topk_lsh(e, probes, k=10, bands=bands, bits=64))
+            curve[f"lsh_bands{bands}"] = recall_by_kind(lsh)
+            print(f"lsh bands={bands}: {curve[f'lsh_bands{bands}']}", flush=True)
+        for nprobe in (4, 8, 16, 32):
+            ivf = topsets(
+                cosine_topk_ivf(e, probes, k=10, n_centroids=128, nprobe=nprobe,
+                                centroids=cents)
+            )
+            curve[f"ivf_c128_np{nprobe}"] = recall_by_kind(ivf)
+            print(f"ivf nprobe={nprobe}: {curve[f'ivf_c128_np{nprobe}']}", flush=True)
+        out["recall_curve"] = curve
+
     elif which == "small":
         import __spark_entry__ as em
 
