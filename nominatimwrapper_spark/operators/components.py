@@ -88,11 +88,49 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+def _union_find_components(e: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Exact closure for a SMALL edge set: classic driver-side union-find
+    with path compression, component = minimum member id. Only the edge
+    list is collected (two longs per edge, bounded by the caller's gate);
+    the node set stays distributed — the (node -> component) mapping,
+    itself ≤ 2x edges rows, is broadcast back and left-joined exactly like
+    the distributed loop's star-forest tail join."""
+    import pandas as pd
+
+    pdf = e.toPandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    mapping = pd.DataFrame(
+        {
+            "node": pd.array(list(parent.keys()), dtype="int64"),
+            "component": pd.array([find(n) for n in parent], dtype="int64"),
+        }
+    )
+    mdf = F.broadcast(
+        e.sparkSession.createDataFrame(mapping, schema="node long, component long")
+    )
+    return nodes.join(mdf, on="node", how="left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 40,
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``, where
     ``component`` is the minimum node id of its connected component.
@@ -101,6 +139,12 @@ def connected_components(
     distinct edge sets — no hash-fingerprint false positives); raises if
     ``max_iter`` rounds don't converge (alternating stars converge in
     O(log n), so 40 covers any realizable input).
+
+    Strategy is scale-adaptive on the MEASURED distinct-edge count:
+    ``driver_max_edges`` (default 1M ≈ 16 MB of edge longs) routes small
+    closures through an exact driver-side union-find (no per-round Spark
+    jobs; the mapping broadcasts back), larger ones through the
+    alternating-star loop. Pass 0 to force the distributed loop.
 
     NB: EAGER — the input edge list (and thus its whole upstream plan,
     e.g. the LSH-verify pipeline when called from minhash_dedup) executes
@@ -139,6 +183,19 @@ def connected_components(
         return nodes.withColumn("component", F.col("node"))
 
     prev_n = e.count()
+    # Scale-adaptive strategy pick (guide §1.2): the distinct edge set is
+    # usually orders of magnitude smaller than the corpus that produced it
+    # (the 1M-doc bench closure verifies ~13k edges). Below the gate an
+    # exact driver-side union-find replaces O(log n) alternating-star
+    # rounds of 4 Spark jobs each — same (node, component-minimum) values,
+    # none of the per-round fixed cost. The collect is BOUNDED by the gate
+    # (two longs per edge, ≤ ~16 MB at the default); above it the
+    # distributed loop below is the only sound shape and runs unchanged.
+    if prev_n <= driver_max_edges:
+        out = _union_find_components(e, nodes)
+        _unpersist_checkpoint(e)  # collected; nodes stays pinned (output reads it)
+        return out
+
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
         n2 = e2.count()

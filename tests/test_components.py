@@ -48,11 +48,15 @@ def _cc_brute(edges):
         [(0, 9), (5, 9)],
     ],
 )
-def test_connected_components_matches_union_find(spark, edges):
+@pytest.mark.parametrize("gate", [1_000_000, 0])
+def test_connected_components_matches_union_find(spark, edges, gate):
+    """gate=default routes through the driver-side union-find; gate=0
+    forces the distributed alternating-star loop — both must agree with
+    the brute reference."""
     e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
     got = {
         r["node"]: r["component"]
-        for r in connected_components(e).collect()
+        for r in connected_components(e, driver_max_edges=gate).collect()
     }
     want = _cc_brute([(u, v) for u, v in edges])
     # self-loop-only nodes never enter the brute parent map via a real
@@ -125,7 +129,7 @@ def test_connected_components_hub_star_bounded_rounds(spark):
         F.lit(0).cast("long").alias("src"), F.col("id").alias("dst")
     )
     # count rounds via max_iter bisection-free probe: run with a tight cap
-    comp = connected_components(e, max_iter=6)
+    comp = connected_components(e, max_iter=6, driver_max_edges=0)
     rows = comp.groupBy("component").count().collect()
     assert len(rows) == 1
     assert rows[0]["component"] == 0 and rows[0]["count"] == n + 1
@@ -142,7 +146,7 @@ def test_connected_components_hub_plus_chain_mixture(spark):
     chain = spark.range(0, n_chain).select(
         (F.col("id") + base).alias("src"), (F.col("id") + base + 1).alias("dst")
     )
-    comp = connected_components(hub.unionByName(chain))
+    comp = connected_components(hub.unionByName(chain), driver_max_edges=0)
     rows = comp.groupBy("component").count().collect()
     assert len(rows) == 1
     assert rows[0]["component"] == 5
